@@ -1,0 +1,178 @@
+"""Point-in-polygon spatial join + tile assignment (the flagship operator).
+
+Relational shape (SURVEY.md §2.2): an index nested-loop join —
+
+    pages (billions of rows)                 polygon layer (small/medium)
+      |  geocode -> (lon, lat)                  |  bbox -> covering cells
+      |  cell_id @ cover res  <--- equi-join ---+  (cell_id, polygon_id)
+      |        [broadcast build side, or shuffle join + salting when large]
+      v
+    bbox refine (pure Column exprs, whole-stage codegen)
+      v
+    exact winding-number PIP refine (Arrow-batched pandas UDF over ONLY
+    (lon, lat, polygon_id) — wide page columns never cross into Python)
+
+Scale notes (design target 10^12 pages, 1000 executors):
+* The probe side is never shuffled in broadcast mode: one scan, one filter.
+* The equi-join key is the Z-order cell at a cover resolution chosen so each
+  polygon expands to <= max_cover_cells cells; candidate fan-out per page is
+  bounded by polygons overlapping its cell (bbox refine then drops most).
+* Hot cells (geocode artifacts like null island) are salted deterministically:
+  build rows for hot cells are replicated n_salt times, probe rows pick
+  xxhash64(url) % n_salt — row multiset is provably unchanged (tested).
+* The exact kernel is float32-identical to the reference
+  (/root/reference/polycheck/polycheck.py:203-247); bbox and cell prefilters
+  are lossless (cells cover the bbox, the bbox covers the polygon).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from polycheck_spark.geo import cells as C
+from polycheck_spark.geo.kernel import contains_csr
+from polycheck_spark.data.polygons import layer_to_csr
+
+DEFAULT_TILE_RES = 12          # ~10 km tiles for tile assignment
+MAX_COVER_CELLS = 64           # per-polygon covering-cell budget
+DEFAULT_N_SALT = 8
+
+
+def assign_tiles(pages: DataFrame, res: int = DEFAULT_TILE_RES,
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Add the Z-order ``cell_id`` tile column (JVM expression, no UDF)."""
+    return pages.withColumn("cell_id", C.cell_id_col(F.col(lon_col), F.col(lat_col), res))
+
+
+def choose_cover_res(layer: list[dict], max_cells: int = MAX_COVER_CELLS) -> int:
+    """Finest resolution at which every polygon's bbox covers <= max_cells cells."""
+    res = C.MAX_RES
+    for p in layer:
+        xs = [x for x, _ in p["vertices"]]
+        ys = [y for _, y in p["vertices"]]
+        while res > 0 and C.num_bbox_cells(min(xs), min(ys), max(xs), max(ys), res) > max_cells:
+            res -= 1
+    return res
+
+
+def polygon_cover_rows(layer: list[dict], res: int) -> list[tuple[int, int]]:
+    """(cell_id, polygon_id) build-side rows: cells covering each polygon bbox."""
+    rows = []
+    for p in layer:
+        xs = [x for x, _ in p["vertices"]]
+        ys = [y for _, y in p["vertices"]]
+        for cid in C.cells_covering_bbox(min(xs), min(ys), max(xs), max(ys), res):
+            rows.append((int(cid), p["polygon_id"]))
+    return rows
+
+
+def _pip_udf(spark, layer: list[dict]):
+    """Arrow-batched predicate: (lon, lat, polygon_id) -> bool.
+
+    CSR polygon arrays travel once per executor via sc.broadcast — the Spark
+    analog of the reference's single host->device upload (polycheck.py:1341-1366).
+    """
+    verts, offsets, ids = layer_to_csr(layer)
+    id_to_idx = np.full(int(ids.max()) + 2, -1, dtype=np.int64)
+    id_to_idx[ids] = np.arange(len(ids))
+    bc = spark.sparkContext.broadcast((verts, offsets, id_to_idx))
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series, polygon_id: pd.Series) -> pd.Series:
+        v, o, lut = bc.value
+        pts = np.column_stack([lon.to_numpy(np.float64), lat.to_numpy(np.float64)])
+        idx = lut[polygon_id.to_numpy(np.int64)]
+        return pd.Series(contains_csr(v, o, idx, pts) > 0)
+
+    return pip
+
+
+def _bbox_refine(df: DataFrame, lon_col: str, lat_col: str) -> DataFrame:
+    return df.filter(
+        (F.col(lon_col) >= F.col("xmin")) & (F.col(lon_col) <= F.col("xmax"))
+        & (F.col(lat_col) >= F.col("ymin")) & (F.col(lat_col) <= F.col("ymax"))
+    )
+
+
+def _bbox_df(spark, layer: list[dict]) -> DataFrame:
+    rows = []
+    for p in layer:
+        xs = [float(np.float32(x)) for x, _ in p["vertices"]]
+        ys = [float(np.float32(y)) for _, y in p["vertices"]]
+        rows.append((p["polygon_id"], min(xs), min(ys), max(xs), max(ys)))
+    return spark.createDataFrame(rows, "polygon_id long, xmin double, ymin double, xmax double, ymax double")
+
+
+def pip_join(spark, pages: DataFrame, layer: list[dict], *,
+             lon_col: str = "lon", lat_col: str = "lat",
+             mode: str = "broadcast", cover_res: int | None = None,
+             hot_cells: list[int] | None = None, n_salt: int = DEFAULT_N_SALT,
+             key_col: str = "url") -> DataFrame:
+    """Join pages to every polygon containing them.
+
+    Returns the pages columns + ``polygon_id`` + ``cell_id`` (cover res).
+    ``mode='broadcast'``: build side broadcast (the common case — polygon
+    layers are small). ``mode='partitioned'``: shuffle equi-join on cell_id
+    with optional deterministic salting of ``hot_cells``.
+    """
+    res = cover_res if cover_res is not None else choose_cover_res(layer)
+    probe = pages.withColumn("cell_id", C.cell_id_col(F.col(lon_col), F.col(lat_col), res))
+    cover = polygon_cover_rows(layer, res)
+    bboxes = _bbox_df(spark, layer)
+
+    if mode == "broadcast":
+        build = spark.createDataFrame(cover, "cell_id long, polygon_id long") \
+                     .join(bboxes, "polygon_id")
+        cand = probe.join(F.broadcast(build), "cell_id")
+    elif mode == "partitioned":
+        hot = set(hot_cells or [])
+        build_rows = []
+        for cid, pid in cover:
+            if cid in hot:
+                build_rows.extend((cid, pid, s) for s in range(n_salt))
+            else:
+                build_rows.append((cid, pid, 0))
+        build = spark.createDataFrame(build_rows, "cell_id long, polygon_id long, salt int") \
+                     .join(bboxes, "polygon_id")
+        if hot:
+            hot_arr = F.array(*[F.lit(h) for h in sorted(hot)])
+            salt = F.when(F.array_contains(hot_arr, F.col("cell_id")),
+                          F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salt)).cast("int")
+                          ).otherwise(F.lit(0))
+        else:
+            salt = F.lit(0)
+        probe = probe.withColumn("salt", salt)
+        cand = probe.join(build, ["cell_id", "salt"]).drop("salt")
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    cand = _bbox_refine(cand, lon_col, lat_col)
+    pip = _pip_udf(spark, layer)
+    refined = cand.filter(pip(F.col(lon_col), F.col(lat_col), F.col("polygon_id")))
+    return refined.drop("xmin", "ymin", "xmax", "ymax")
+
+
+def detect_hot_cells(pages: DataFrame, res: int, *, lon_col: str = "lon",
+                     lat_col: str = "lat", sample_frac: float = 0.01,
+                     threshold_frac: float = 0.01, seed: int = 42) -> list[int]:
+    """Sampled heavy-hitter detection on the cell key (north_rule skew handling).
+
+    Cells holding more than ``threshold_frac`` of the sampled pages are 'hot'.
+    One cheap pass over a sample; at 10^12 rows use sample_frac ~ 1e-5.
+    """
+    sampled = pages.sample(fraction=sample_frac, seed=seed)
+    counts = (sampled
+              .withColumn("cell_id", C.cell_id_col(F.col(lon_col), F.col(lat_col), res))
+              .groupBy("cell_id").count())
+    total = sampled.count()
+    if total == 0:
+        return []
+    rows = counts.filter(F.col("count") > threshold_frac * total).collect()
+    return [r["cell_id"] for r in rows]
+
+
+def per_polygon_counts(joined: DataFrame) -> DataFrame:
+    """Per-polygon hit counts (partial aggregation happens map-side)."""
+    return joined.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_docs"))
