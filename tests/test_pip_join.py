@@ -1,0 +1,110 @@
+"""End-to-end spatial join tests: broadcast vs partitioned vs DuckDB oracle."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polycheck_spark.data import synth
+from polycheck_spark.data.polygons import (
+    default_query_layer, winding_join_sql, golden_layer_lonlat,
+)
+from polycheck_spark.geo import cells as C
+from polycheck_spark.operators import pip_join as PJ
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth.geocoded_pages(spark, 4000, partitions=8).cache()
+
+
+@pytest.fixture(scope="module")
+def layer():
+    return default_query_layer()
+
+
+def _rows(df):
+    return sorted((r["url"], r["polygon_id"]) for r in df.select("url", "polygon_id").collect())
+
+
+def test_broadcast_join_matches_duckdb_oracle(spark, sf_dir, layer):
+    """Engine PIP join vs pure-SQL winding-number oracle on real testdata."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lon, lat = synth.geocode_arith_cols(F.col("doc_id"))
+    pts = docs.select("doc_id", lon.alias("lon"), lat.alias("lat"))
+    got = PJ.pip_join(spark, pts, layer, key_col="doc_id")
+    got_rows = sorted((r["doc_id"], r["polygon_id"])
+                      for r in got.select("doc_id", "polygon_id").collect())
+
+    lon_sql, lat_sql = synth.geocode_arith_sql("doc_id")
+    pts_cte = (f"SELECT doc_id, {lon_sql} AS lon, {lat_sql} AS lat "
+               f"FROM read_parquet('{sf_dir}/documents.parquet')")
+    oracle = winding_join_sql(pts_cte, layer)
+    exp_rows = sorted(duckdb.sql(oracle).fetchall())
+    assert got_rows == exp_rows
+    assert len(got_rows) > 0
+
+
+def test_partitioned_equals_broadcast(spark, pages, layer):
+    a = PJ.pip_join(spark, pages, layer, mode="broadcast")
+    b = PJ.pip_join(spark, pages, layer, mode="partitioned")
+    assert _rows(a) == _rows(b)
+
+
+def test_salted_partitioned_preserves_multiset(spark, pages, layer):
+    res = PJ.choose_cover_res(layer)
+    hot = PJ.detect_hot_cells(pages, res, sample_frac=0.5, threshold_frac=0.02)
+    assert hot, "generator must produce hot cells for the skew path"
+    a = PJ.pip_join(spark, pages, layer, mode="partitioned", hot_cells=hot)
+    b = PJ.pip_join(spark, pages, layer, mode="broadcast")
+    assert _rows(a) == _rows(b)
+
+
+def test_join_hits_golden_polygons(spark, pages):
+    """The hot spot near (0.5, 0.25) lands inside star8 and unit_square."""
+    got = PJ.pip_join(spark, pages, golden_layer_lonlat())
+    by_poly = dict(got.groupBy("polygon_id").count().collect() and
+                   [(r["polygon_id"], r["count"]) for r in got.groupBy("polygon_id").count().collect()])
+    assert by_poly.get(1, 0) > 0, "star8 should contain hot-spot pages"
+    assert by_poly.get(2, 0) > 0, "unit_square should contain hot-spot pages"
+
+
+def test_text_byte_identical_through_join(spark, pages, layer):
+    """north_rule invariant: extracted text is byte-identical per url through
+    every stage (checksum of text before vs after the join)."""
+    pre = {r["url"]: r["h"] for r in
+           pages.select("url", F.sha2(F.col("text"), 256).alias("h")).collect()}
+    joined = PJ.pip_join(spark, pages, layer)
+    post = joined.select("url", F.sha2(F.col("text"), 256).alias("h")).collect()
+    assert len(post) > 0
+    for r in post:
+        assert pre[r["url"]] == r["h"]
+
+
+def test_tile_assignment_matches_numpy(spark, pages):
+    sample = pages.limit(200)
+    got = PJ.assign_tiles(sample, res=12).select("lon", "lat", "cell_id").collect()
+    lons = np.array([r["lon"] for r in got])
+    lats = np.array([r["lat"] for r in got])
+    expected = C.cell_id(lons, lats, 12)
+    assert [r["cell_id"] for r in got] == expected.tolist()
+
+
+def test_bbox_prefilter_lossless(spark, pages, layer):
+    """cell-join + bbox prefilter + PIP == brute-force PIP over the full cross
+    product (prefilters discard only true negatives)."""
+    from polycheck_spark.data.polygons import layer_to_csr
+    from polycheck_spark.geo.kernel import contains_csr
+    sample = pages.limit(300).select("url", "lon", "lat").collect()
+    verts, offsets, ids = layer_to_csr(layer)
+    expected = set()
+    pts = np.array([[r["lon"], r["lat"]] for r in sample])
+    for pi, pid in enumerate(ids):
+        idx = np.full(len(pts), pi)
+        mask = contains_csr(verts, offsets, idx, pts) > 0
+        for j in np.flatnonzero(mask):
+            expected.add((sample[j]["url"], int(pid)))
+    urls = [r["url"] for r in sample]
+    sample_df = synth.geocoded_pages(spark, 4000).filter(F.col("url").isin(urls))
+    got = set(_rows(PJ.pip_join(spark, sample_df, layer)))
+    assert got == expected
