@@ -177,16 +177,28 @@ def _spread_col(col):
     return x
 
 
-def cell_id_col(lon_col, lat_col, res: int):
-    """Spark Column computing the same cell_id as :func:`cell_id`."""
+def ixiy_cols(lon_col, lat_col, res: int):
+    """(ix, iy) integer grid Columns, clamped — JVM twins of lonlat_to_ixiy."""
     from pyspark.sql import functions as F
     n = 1 << res
     ix = F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
     iy = F.floor((lat_col + F.lit(90.0)) / F.lit(180.0) * F.lit(n)).cast("long")
     ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1))
     iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1))
-    morton = _spread_col(ix).bitwiseOR(F.shiftleft(_spread_col(iy), 1))
+    return ix, iy
+
+
+def encode_col(ix_col, iy_col, res: int):
+    """cell_id Column from integer grid Columns."""
+    from pyspark.sql import functions as F
+    morton = _spread_col(ix_col).bitwiseOR(F.shiftleft(_spread_col(iy_col), 1))
     return F.lit(res << RES_SHIFT).bitwiseOR(morton)
+
+
+def cell_id_col(lon_col, lat_col, res: int):
+    """Spark Column computing the same cell_id as :func:`cell_id`."""
+    ix, iy = ixiy_cols(lon_col, lat_col, res)
+    return encode_col(ix, iy, res)
 
 
 # ---------------------------------------------------------------------------

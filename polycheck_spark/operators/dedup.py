@@ -1,0 +1,185 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Everything is pure DataFrame composition (JVM expressions + shuffles Catalyst
+can see) — no Python in the row path.  Each operator has a DuckDB SQL twin.
+
+Scale notes (10^12 docs):
+* exact dedup is a hash groupBy — one shuffle on the digest, map-side partial
+  aggregation for the counts;
+* MinHash/LSH shuffles (doc, band_signature) pairs: candidate generation is
+  an equi-join on the band key, never an all-pairs product;
+* n-gram Jaccard full-pair scoring is quadratic per shared shingle — it is the
+  *verification* stage run on LSH candidates, not the discovery stage;
+* SimHash is one narrow projection (groupBy doc over 16 bit positions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from polycheck_spark.operators.text import tokens_col, _tokens_sql, _tok_int, _tok_int_sql
+
+NGRAM = 3
+N_MINHASH = 16
+BAND_SIZE = 4  # -> 4 bands
+SIMHASH_BITS = 16
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_md5, n_dups, min_id)."""
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+            .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("min_id"))
+            .filter(F.col("n_dups") > 1))
+
+
+def exact_duplicates_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT md5({text_col}) AS text_md5, COUNT(*) AS n_dups, MIN({id_col}) AS min_id
+FROM {table} GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# --- shingles ----------------------------------------------------------------
+
+def _shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct word-NGRAM shingles per doc: (id, shingle)."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= NGRAM,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - NGRAM),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, NGRAM)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+            .distinct())
+
+
+def _shingles_sql(table: str, id_col: str, text_col: str) -> str:
+    t = _tokens_sql(text_col)
+    return f"""
+  SELECT DISTINCT {id_col} AS id,
+         array_to_string(tl[s : s + {NGRAM} - 1], ' ') AS shingle
+  FROM (SELECT {id_col}, tl,
+               unnest(generate_series(1, len(tl) - {NGRAM} + 1)) AS s
+        FROM (SELECT {id_col}, {t} AS tl FROM {table}))
+"""
+
+
+# --- n-gram Jaccard ------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (1, 2),
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """All doc pairs (a < b) with shingle-set Jaccard >= num/den.
+
+    The threshold is a rational (num, den) applied by integer
+    cross-multiplication — no float boundary drift between engines.
+    """
+    num, den = threshold
+    sh = _shingles(docs, id_col, text_col).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (sh.alias("x").join(sh.alias("y"), "shingle")
+             .filter(F.col("x.id") < F.col("y.id"))
+             .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    out = (pairs
+           .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "n_a"), "a")
+           .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "n_b"), "b")
+           .filter(F.col("n_common") * den >= num * (F.col("n_a") + F.col("n_b") - F.col("n_common"))))
+    return out.select("a", "b", "n_common", "n_a", "n_b")
+
+
+def ngram_jaccard_pairs_sql(table: str, threshold: tuple[int, int] = (1, 2),
+                            id_col: str = "doc_id", text_col: str = "text") -> str:
+    num, den = threshold
+    return f"""
+WITH sh AS ({_shingles_sql(table, id_col, text_col)}),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+pairs AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.n_common, sa.n AS n_a, sb.n AS n_b
+FROM pairs p JOIN sizes sa ON sa.id = p.a JOIN sizes sb ON sb.id = p.b
+WHERE p.n_common * {den} >= {num} * (sa.n + sb.n - p.n_common)
+"""
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, seed, minhash): N_MINHASH md5-derived min-hashes per doc."""
+    sh = _shingles(docs, id_col, text_col)
+    seeded = sh.withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(N_MINHASH)])))
+    h = _tok_int(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+    return (seeded.groupBy("id", "seed").agg(F.min(h).alias("minhash")))
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Near-dup candidates: pairs agreeing on all BAND_SIZE hashes of >=1 band."""
+    sig = minhash_signatures(docs, id_col, text_col)
+    banded = (sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
+              .groupBy("id", "band")
+              .agg(F.concat_ws(",", F.array_sort(
+                  F.collect_list(F.concat_ws("=", F.col("seed").cast("string"),
+                                             F.col("minhash").cast("string"))))).alias("bkey")))
+    pairs = (banded.alias("x").join(banded.alias("y"), ["band", "bkey"])
+             .filter(F.col("x.id") < F.col("y.id"))
+             .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+             .distinct())
+    return pairs
+
+
+def lsh_candidate_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    h = _tok_int_sql("(seed || ':' || shingle)")
+    return f"""
+WITH sh AS ({_shingles_sql(table, id_col, text_col)}),
+seeded AS (
+  SELECT id, shingle, s.seed FROM sh, range({N_MINHASH}) s(seed)
+),
+sig AS (
+  SELECT id, seed, MIN({h}) AS minhash FROM seeded GROUP BY id, seed
+),
+banded AS (
+  SELECT id, CAST(seed / {BAND_SIZE} AS INT) AS band,
+         array_to_string(list_sort(list(seed || '=' || minhash)), ',') AS bkey
+  FROM sig GROUP BY id, CAST(seed / {BAND_SIZE} AS INT)
+)
+SELECT DISTINCT x.id AS a, y.id AS b
+FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+"""
+
+
+# --- SimHash ----------------------------------------------------------------------
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SIMHASH_BITS-bit simhash over whitespace tokens (count-weighted)."""
+    toks = tokens_col(F.col(text_col))
+    tok = (docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+           .withColumn("h", _tok_int(F.col("tok"))))
+    bits = tok.withColumn("bit", F.explode(F.array(*[F.lit(b) for b in range(SIMHASH_BITS)])))
+    contrib = F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+    per_bit = (bits.groupBy("id", "bit").agg(F.sum(contrib).alias("v")))
+    return (per_bit.groupBy("id")
+            .agg(F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
+                       .otherwise(0)).alias("simhash")))
+
+
+def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    t = _tokens_sql(text_col)
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, {_tok_int_sql('u.tok')} AS h
+  FROM (SELECT {id_col}, unnest({t}) AS tok FROM {table}) u({id_col}, tok)
+),
+bits AS (
+  SELECT id, b.bit, CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM tok, range({SIMHASH_BITS}) b(bit)
+),
+per_bit AS (SELECT id, bit, SUM(c) AS v FROM bits GROUP BY id, bit)
+SELECT id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+FROM per_bit GROUP BY id
+"""

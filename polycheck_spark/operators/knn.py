@@ -1,0 +1,131 @@
+"""Cell-ring k-nearest-neighbor join.
+
+For each query point, the k nearest target points under the planar metric
+``dist2 = (lon_q - lon_t)^2 + (lat_q - lat_t)^2`` (the reference's geometry is
+planar — polycheck treats all coordinates as flat 2-D; we keep that metric so
+results are exactly oracle-checkable).
+
+Algorithm (north_rule "cell-ring kNN"):
+  1. index targets by cell_id at resolution ``res``;
+  2. ring r: explode each unsatisfied query into its (2r+1)^2 neighbor cells
+     (pure Column arithmetic — offsets are a literal array, the cell encode is
+     JVM bit math), equi-join targets on cell_id, window top-k per query;
+  3. a query is *satisfied* when it found k candidates and its kth distance is
+     <= (r-1) * min_cell_extent — the guarantee radius: any point closer than
+     that must live inside the ring regardless of where the query sits in its
+     own cell. Unsatisfied queries escalate (r doubles); queries that outgrow
+     the grid fall back to a brute-force cross join (rare, bounded).
+
+Scale notes: each round shuffles only unsatisfied queries x ring cells; the
+target index is built once and reused. Ties broken by (dist2, target_id) so
+results are deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from polycheck_spark.geo import cells as C
+
+
+def _topk(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("target_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+
+def _candidates(queries: DataFrame, targets_indexed: DataFrame, ring: int, res: int) -> DataFrame:
+    n = 1 << res
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    off_col = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx, dy in offsets])
+    q = queries.withColumn("o", F.explode(off_col))
+    nix = F.col("qix") + F.col("o.dx")
+    niy = F.col("qiy") + F.col("o.dy")
+    q = (q.filter((nix >= 0) & (nix < n) & (niy >= 0) & (niy < n))
+          .withColumn("cell_id", C.encode_col(nix, niy, res))
+          .drop("o"))
+    j = q.join(targets_indexed, "cell_id")
+    return j.withColumn(
+        "dist2",
+        (F.col("qlon") - F.col("tlon")) ** 2 + (F.col("qlat") - F.col("tlat")) ** 2)
+
+
+def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
+             res: int = 6, initial_ring: int = 2, max_rounds: int = 4,
+             query_id: str = "query_id", target_id: str = "target_id",
+             qlon: str = "lon", qlat: str = "lat",
+             tlon: str = "lon", tlat: str = "lat") -> DataFrame:
+    """Returns (query_id, target_id, dist2, rank) with rank in [1, k].
+
+    ``res`` picks candidate-cell granularity: choose so an average cell holds
+    ~k/ (ring area) targets. Escalation makes any res correct; res only
+    affects cost.
+    """
+    spark = queries.sparkSession
+    q0 = queries.select(F.col(query_id).alias("query_id"),
+                        F.col(qlon).alias("qlon"), F.col(qlat).alias("qlat"))
+    qix, qiy = C.ixiy_cols(F.col("qlon"), F.col("qlat"), res)
+    q0 = q0.withColumn("qix", qix).withColumn("qiy", qiy)
+
+    t0 = targets.select(F.col(target_id).alias("target_id"),
+                        F.col(tlon).alias("tlon"), F.col(tlat).alias("tlat"))
+    t_indexed = t0.withColumn("cell_id",
+                              C.cell_id_col(F.col("tlon"), F.col("tlat"), res)).cache()
+
+    cell_extent = min(360.0, 180.0) / (1 << res)  # min per-axis cell size, degrees
+    remaining = q0
+    done_parts: list[DataFrame] = []
+    ring = initial_ring
+    n = 1 << res
+
+    for _ in range(max_rounds):
+        if ring >= n:
+            break
+        topk = _topk(_candidates(remaining, t_indexed, ring, res), k).cache()
+        guarantee = (ring - 1) * cell_extent if ring > 1 else 0.0
+        stats = topk.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("found"),
+            F.max("dist2").alias("worst"))
+        satisfied_ids = stats.filter(
+            (F.col("found") >= k) & (F.col("worst") <= F.lit(guarantee * guarantee)))\
+            .select("query_id")
+        done_parts.append(topk.join(satisfied_ids, "query_id", "left_semi")
+                              .select("query_id", "target_id", "dist2", "rank"))
+        remaining = remaining.join(satisfied_ids, "query_id", "left_anti").cache()
+        if remaining.isEmpty():
+            remaining = None
+            break
+        ring *= 2
+
+    if remaining is not None and not remaining.isEmpty():
+        # brute force for stragglers (grid outgrown or rounds exhausted)
+        cross = remaining.crossJoin(t0).withColumn(
+            "dist2",
+            (F.col("qlon") - F.col("tlon")) ** 2 + (F.col("qlat") - F.col("tlat")) ** 2)
+        done_parts.append(_topk(cross, k).select("query_id", "target_id", "dist2", "rank"))
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def knn_sql_oracle(points_cte: str, queries_filter: str, k: int,
+                   point_id: str = "doc_id") -> str:
+    """Brute-force DuckDB oracle: same metric, same (dist2, id) tie-break."""
+    return f"""
+WITH pts AS ({points_cte}),
+q AS (SELECT * FROM pts WHERE {queries_filter}),
+pairs AS (
+  SELECT q.{point_id} AS query_id, t.{point_id} AS target_id,
+         (q.lon - t.lon) * (q.lon - t.lon) + (q.lat - t.lat) * (q.lat - t.lat) AS dist2
+  FROM q JOIN pts t ON TRUE
+),
+ranked AS (
+  SELECT query_id, target_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2 ASC, target_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""

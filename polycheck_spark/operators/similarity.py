@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+* :func:`cosine_topk` — brute-force exact top-k. The dot product and norms are
+  higher-order Column functions (``zip_with`` + ``aggregate``) — JVM-side, no
+  Python. Queries are broadcast; the big side streams.  This is the baseline
+  and the verifier for the approximate path.
+* :func:`lsh_bucket_topk` — random-hyperplane LSH: deterministic pseudo-planes
+  hashed from (plane, dim), sign-bit bucket key, candidates restricted to
+  same-bucket (+ optional 1-bit-flip probing), exact rescoring inside buckets.
+  At scale the bucket join replaces the full cross product.
+
+Outputs carry (query_id, target_id, rank) — ranks are float-order-robust
+because embedding cosines are generic reals; both engines order by
+(cosine DESC, target_id ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm2(a):
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k of each query against all embeddings.
+
+    ``queries`` is small and broadcast; excludes self-matches.
+    """
+    t = embeddings.select(F.col(id_col).alias("target_id"),
+                          F.col(vec_col).cast("array<double>").alias("tvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    cand = t.join(F.broadcast(q), F.col("target_id") != F.col("query_id"))
+    cos = _dot(F.col("qvec"), F.col("tvec")) / \
+        F.sqrt(_norm2(F.col("qvec")) * _norm2(F.col("tvec")))
+    scored = cand.select("query_id", "target_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "target_id", "rank"))
+
+
+def cosine_topk_sql(table: str, queries_filter: str, k: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB twin using explicit per-element sums (same math as zip_with)."""
+    return f"""
+WITH t AS (SELECT {id_col} AS target_id,
+                  list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS tvec FROM {table}),
+q AS (SELECT {id_col} AS query_id,
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM {table} WHERE {queries_filter}),
+scored AS (
+  SELECT q.query_id, t.target_id,
+         list_sum(list_transform(range(len(qvec)), i -> qvec[i + 1] * tvec[i + 1]))
+           / sqrt(list_sum(list_transform(qvec, x -> x * x))
+                  * list_sum(list_transform(tvec, x -> x * x))) AS cosine
+  FROM t JOIN q ON t.target_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, target_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, target_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _plane_component(plane: int, dim_idx):
+    """Deterministic pseudo-hyperplane component in [-1, 1): hash of (plane, dim).
+
+    xxhash64 is JVM-side; the LSH path has no SQL oracle (rows-only check) so
+    cross-engine hash parity is not required here.
+    """
+    h = F.xxhash64(F.lit(plane), dim_idx)
+    return (F.pmod(h, F.lit(2_000_003)) - F.lit(1_000_001.5)) / F.lit(1_000_001.5)
+
+
+def bucket_key_col(vec_col):
+    """Sign-bit LSH bucket id from N_PLANES pseudo-random hyperplanes."""
+    key = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(vec_col,
+                       F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1),
+                                   lambda i: _plane_component(p, i)),
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda acc, v: acc + v)
+        key = key.bitwiseOR(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
+    return key
+
+
+def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    multiprobe: bool = True) -> DataFrame:
+    """Approximate cosine top-k: candidates share an LSH bucket (or differ by
+    one sign bit when multiprobe), rescored exactly, ranked per query."""
+    t = embeddings.select(F.col(id_col).alias("target_id"),
+                          F.col(vec_col).cast("array<double>").alias("tvec"))
+    t = t.withColumn("bucket", bucket_key_col(F.col("tvec")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    q = q.withColumn("qbucket", bucket_key_col(F.col("qvec")))
+    if multiprobe:
+        probes = F.array(F.col("qbucket"),
+                         *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
+        q = q.withColumn("bucket", F.explode(probes))
+    else:
+        q = q.withColumn("bucket", F.col("qbucket"))
+    cand = t.join(F.broadcast(q.drop("qbucket")), "bucket") \
+            .filter(F.col("target_id") != F.col("query_id"))
+    cos = _dot(F.col("qvec"), F.col("tvec")) / \
+        F.sqrt(_norm2(F.col("qvec")) * _norm2(F.col("tvec")))
+    scored = cand.select("query_id", "target_id", cos.alias("cosine")).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "target_id", "rank"))

@@ -1,0 +1,159 @@
+"""Text-analysis operators for web-scale training-data pipelines.
+
+All hot paths are pure Column expressions (JVM, whole-stage codegen — no
+Python UDFs).  Every operator has a DuckDB SQL twin emitter so the driver's
+oracle differential can verify it; both sides share the same constants.
+
+Token model: whitespace split, empty tokens dropped (identical in Spark's
+``split`` and DuckDB's ``string_split_regex``).  Per-token integers come from
+the first 8 hex digits of md5 — the one hash both engines compute identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MOD = 1_000_000_007
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"],
+}
+
+
+def tokens_col(text_col):
+    """Non-empty whitespace tokens (lower-cased)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+
+
+def _tokens_sql(text_expr: str) -> str:
+    return f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), t -> t <> '')"
+
+
+def _tok_int(col):
+    """First 8 md5 hex digits as BIGINT — identical in both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _tok_int_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# --- token counting ---------------------------------------------------------
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish alnum-run count per document."""
+    toks = tokens_col(F.col(text_col))
+    bpe = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def token_counts_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col},
+       CAST(len({_tokens_sql(text_col)}) AS INT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')) AS INT) AS n_bpe_tokens,
+       CAST(length({text_col}) AS INT) AS n_chars
+FROM {table}
+"""
+
+
+# --- quality scoring ---------------------------------------------------------
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / mean-token-length / stopword-ratio quality features.
+
+    Ratios are returned as exact integer pairs (numerator, denominator) so the
+    oracle comparison is float-drift-free.
+    """
+    toks = tokens_col(F.col(text_col))
+    stops = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("token_chars"),
+        stop_hits.alias("stopword_hits"),
+    )
+
+
+def quality_scores_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    t = _tokens_sql(text_col)
+    return f"""
+SELECT {id_col},
+       CAST(length({text_col}) AS INT) AS n_chars,
+       CAST(len({t}) AS INT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform({t}, x -> length(x))), 0) AS INT) AS token_chars,
+       CAST(len(list_filter({t}, x -> x in ({stops}))) AS INT) AS stopword_hits
+FROM {table}
+"""
+
+
+# --- language identification --------------------------------------------------
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language guess with deterministic tie-break en > de > fr."""
+    toks = tokens_col(F.col(text_col))
+    hits = {lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+            for lang, words in STOPWORDS.items()}
+    guess = (F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
+              .when(hits["de"] >= hits["fr"], "de")
+              .otherwise("fr"))
+    return docs.select(F.col(id_col), guess.alias("lang_guess"),
+                       hits["en"].alias("en_hits"), hits["de"].alias("de_hits"),
+                       hits["fr"].alias("fr_hits"))
+
+
+def lang_id_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    t = _tokens_sql(text_col)
+    h = {lang: f"len(list_filter({t}, x -> x in ({', '.join(repr(w) for w in words)})))"
+         for lang, words in STOPWORDS.items()}
+    return f"""
+SELECT {id_col},
+       CASE WHEN {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']} THEN 'en'
+            WHEN {h['de']} >= {h['fr']} THEN 'de'
+            ELSE 'fr' END AS lang_guess,
+       CAST({h['en']} AS INT) AS en_hits,
+       CAST({h['de']} AS INT) AS de_hits,
+       CAST({h['fr']} AS INT) AS fr_hits
+FROM {table}
+"""
+
+
+# --- document fingerprint ------------------------------------------------------
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint:
+    ``sum_i((i + 1) * tok_int(t_i)) % MOD`` — position-weighted token hash."""
+    toks = tokens_col(F.col(text_col))
+    exploded = docs.select(F.col(id_col), F.posexplode_outer(toks).alias("pos", "tok"))
+    return (exploded.groupBy(id_col)
+            .agg(F.pmod(F.sum(F.when(F.col("tok").isNotNull(),
+                                     (F.col("pos") + 1) * _tok_int(F.col("tok")))
+                              .otherwise(0)),
+                        F.lit(MOD)).alias("fingerprint")))
+
+
+def fingerprints_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    t = _tokens_sql(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col}, {t} AS tl FROM {table}),
+pos AS (
+  SELECT {id_col}, tl[posn] AS tok, posn - 1 AS pos
+  FROM (SELECT {id_col}, tl, unnest(generate_series(1, len(tl))) AS posn FROM toks)
+)
+SELECT t.{id_col}, coalesce(s.fp, 0) AS fingerprint
+FROM toks t
+LEFT JOIN (
+  SELECT {id_col}, SUM((pos + 1) * {_tok_int_sql('tok')}) % {MOD} AS fp
+  FROM pos GROUP BY {id_col}
+) s USING ({id_col})
+"""

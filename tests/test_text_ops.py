@@ -1,0 +1,115 @@
+"""Text / dedup / similarity operators vs their DuckDB SQL twins."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from polycheck_spark.operators import dedup as D, similarity as S, text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')")
+    return con.execute(sql).fetchall()
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_token_counts(spark, sf_dir, docs):
+    got = _sorted_rows(TX.token_counts(docs))
+    exp = sorted(_duck(sf_dir, TX.token_counts_sql("documents")))
+    assert got == exp
+
+
+def test_quality_scores(spark, sf_dir, docs):
+    got = _sorted_rows(TX.quality_scores(docs))
+    exp = sorted(_duck(sf_dir, TX.quality_scores_sql("documents")))
+    assert got == exp
+
+
+def test_lang_id(spark, sf_dir, docs):
+    got = _sorted_rows(TX.lang_id(docs))
+    exp = sorted(_duck(sf_dir, TX.lang_id_sql("documents")))
+    assert got == exp
+
+
+def test_fingerprints(spark, sf_dir, docs):
+    got = _sorted_rows(TX.fingerprints(docs))
+    exp = sorted(_duck(sf_dir, TX.fingerprints_sql("documents")))
+    assert got == exp
+
+
+def test_exact_duplicates(spark, sf_dir, docs):
+    got = _sorted_rows(D.exact_duplicates(docs))
+    exp = sorted(_duck(sf_dir, D.exact_duplicates_sql("documents")))
+    assert got == exp
+
+
+def test_ngram_jaccard(spark, sf_dir, docs):
+    got = _sorted_rows(D.ngram_jaccard_pairs(docs, threshold=(1, 4)))
+    exp = sorted(_duck(sf_dir, D.ngram_jaccard_pairs_sql("documents", threshold=(1, 4))))
+    assert got == exp
+
+
+def test_lsh_candidates(spark, sf_dir, docs):
+    got = _sorted_rows(D.lsh_candidate_pairs(docs))
+    exp = sorted(_duck(sf_dir, D.lsh_candidate_pairs_sql("documents")))
+    assert got == exp
+
+
+def test_simhash(spark, sf_dir, docs):
+    got = _sorted_rows(D.simhash(docs))
+    exp = sorted(_duck(sf_dir, D.simhash_sql("documents")))
+    assert got == exp
+
+
+def test_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    got = _sorted_rows(S.cosine_topk(emb, q, 5))
+    exp = sorted(_duck(sf_dir, S.cosine_topk_sql("embeddings", "vec_id % 25 = 0", 5)))
+    assert got == exp
+
+
+def test_lsh_ann_plumbing_on_testdata(spark, sf_dir):
+    """On unstructured random embeddings LSH recall is inherently weak; here
+    we assert the pipeline shape: valid ranks, no self-matches, sane size."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    rows = S.lsh_bucket_topk(emb, q, 5).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["rank"] <= 5
+        assert r["query_id"] != r["target_id"]
+
+
+def test_lsh_ann_recall_on_clustered_data(spark):
+    """On clustered data (where ANN is meaningful) recall@5 must be high.
+
+    40 clusters x 25 members; members of a cluster are tiny deterministic
+    perturbations of a shared base vector, so true top-5 are in-cluster and
+    land in the same LSH bucket."""
+    n_clusters, per, dim = 40, 25, 16
+    rows = []
+    for c in range(n_clusters):
+        base = [(((c * 31 + d * 17) % 97) - 48) / 48.0 for d in range(dim)]
+        for m in range(per):
+            vec = [base[d] + (((c * 7 + m * 13 + d * 3) % 11) - 5) / 500.0
+                   for d in range(dim)]
+            rows.append((c * per + m, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % per == 0)
+    exact = {(r["query_id"], r["target_id"])
+             for r in S.cosine_topk(emb, q, 5).collect()}
+    approx = {(r["query_id"], r["target_id"])
+              for r in S.lsh_bucket_topk(emb, q, 5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
