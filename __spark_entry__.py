@@ -1,38 +1,401 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for polycheck_spark (PySpark spatial-join + tiling engine).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship PIP spatial join on sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()``— DuckDB twins for every SQL-expressible query; ops whose
+                  semantics are iterative ray walks / LSH internals are
+                  rows-only checked (their exact semantics are covered by the
+                  golden pytest suite instead: tests/test_kernel_golden.py,
+                  tests/test_visibility_spark.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from polycheck_spark.data import synth
+from polycheck_spark.data.polygons import default_query_layer, winding_join_sql
+from polycheck_spark.geo import cells as C
+from polycheck_spark.operators import dedup as D, similarity as SIM, text as TX
+from polycheck_spark.operators import pip_join as PJ
+from polycheck_spark.operators.knn import knn_join, knn_sql_oracle
+from polycheck_spark.operators.visibility import raster_lookup, raster_lookup_sql
+
+TILE_RES = 12
+DENSITY_RES = 4
+KNN_K = 5
+KNN_FILTER_MOD = 17
+
+_LAYER = default_query_layer()
+
+# deterministic raster for raster<->vector lookups: 36x18 world grid,
+# occ = ((3*row + 7*col) % 13) / 13 — trivially identical in SQL
+RASTER_W, RASTER_H = 36, 18
+RASTER_ORIGIN = (-180.0, -90.0)
+RASTER_RES_DEG = 10.0
+
+
+def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lon, lat = synth.geocode_arith_cols(F.col("doc_id"))
+    return docs.select("doc_id", lon.alias("lon"), lat.alias("lat"))
+
+
+def _docs_points_cte(sf_dir: str) -> str:
+    lon_sql, lat_sql = synth.geocode_arith_sql("doc_id")
+    return (f"SELECT doc_id, {lon_sql} AS lon, {lat_sql} AS lat "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')")
+
+
+def _docs_points_cte_view() -> str:
+    lon_sql, lat_sql = synth.geocode_arith_sql("doc_id")
+    return f"SELECT doc_id, {lon_sql} AS lon, {lat_sql} AS lat FROM documents"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _raster_df(spark: SparkSession) -> DataFrame:
+    return spark.range(RASTER_H * RASTER_W).select(
+        (F.col("id") / RASTER_W).cast("int").alias("row"),
+        F.pmod(F.col("id"), F.lit(RASTER_W)).cast("int").alias("col"),
+        (F.pmod(3 * (F.col("id") / RASTER_W).cast("int")
+                + 7 * F.pmod(F.col("id"), F.lit(RASTER_W)).cast("int"), F.lit(13))
+         / F.lit(13.0)).alias("occ"))
+
+
+_RASTER_CTE = f"""
+SELECT CAST(i // {RASTER_W} AS INT) AS row,
+       CAST(i % {RASTER_W} AS INT) AS col,
+       ((3 * CAST(i // {RASTER_W} AS INT) + 7 * CAST(i % {RASTER_W} AS INT)) % 13) / 13.0 AS occ
+FROM range({RASTER_H * RASTER_W}) t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geocode sf0.001 documents, PIP-join against the polygon
+    layer, per-polygon counts joined back (smoke-checked by the driver)."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _docs_points(spark, sf_dir)
+    joined = PJ.pip_join(spark, pts, _LAYER, key_col="doc_id")
+    return joined.select(F.col("doc_id").alias("point_id"), "polygon_id",
+                         "cell_id", "lon", "lat")
+
+
+def q_pip_join(spark, sf_dir):
+    joined = PJ.pip_join(spark, _docs_points(spark, sf_dir), _LAYER, key_col="doc_id")
+    return (joined.select(F.col("doc_id").alias("point_id"), "polygon_id")
+            .orderBy("point_id", "polygon_id"))
+
+
+def q_pip_join_partitioned(spark, sf_dir):
+    pts = _docs_points(spark, sf_dir)
+    res = PJ.choose_cover_res(_LAYER)
+    hot = PJ.detect_hot_cells(pts, res, sample_frac=1.0, threshold_frac=0.02)
+    joined = PJ.pip_join(spark, pts, _LAYER, mode="partitioned",
+                         hot_cells=hot, key_col="doc_id")
+    return (joined.select(F.col("doc_id").alias("point_id"), "polygon_id")
+            .orderBy("point_id", "polygon_id"))
+
+
+def q_pip_counts(spark, sf_dir):
+    joined = PJ.pip_join(spark, _docs_points(spark, sf_dir), _LAYER, key_col="doc_id")
+    return (joined.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("polygon_id"))
+
+
+def q_pip_semi(spark, sf_dir):
+    pts = _docs_points(spark, sf_dir)
+    joined = PJ.pip_join(spark, pts, _LAYER, key_col="doc_id")
+    return (pts.join(joined.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id").orderBy("doc_id"))
+
+
+def q_pip_anti(spark, sf_dir):
+    pts = _docs_points(spark, sf_dir)
+    joined = PJ.pip_join(spark, pts, _LAYER, key_col="doc_id")
+    return (pts.join(joined.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id").orderBy("doc_id"))
+
+
+def q_tile_assignment(spark, sf_dir):
+    pts = _docs_points(spark, sf_dir)
+    return (PJ.assign_tiles(pts, res=TILE_RES)
+            .select("doc_id", "cell_id").orderBy("doc_id"))
+
+
+def q_tile_density(spark, sf_dir):
+    pts = _docs_points(spark, sf_dir)
+    return (PJ.assign_tiles(pts, res=DENSITY_RES)
+            .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy(F.col("n_docs").desc(), F.col("cell_id")))
+
+
+def q_knn(spark, sf_dir):
+    pts = _docs_points(spark, sf_dir)
+    queries = pts.filter(F.col("doc_id") % KNN_FILTER_MOD == 0)
+    got = knn_join(queries, pts, KNN_K, res=8, query_id="doc_id", target_id="doc_id")
+    return got.select("query_id", "target_id", F.col("rank").cast("long").alias("rank")) \
+              .orderBy("query_id", "rank")
+
+
+def q_raster_lookup(spark, sf_dir):
+    pts = _docs_points(spark, sf_dir)
+    out = raster_lookup(pts, _raster_df(spark),
+                        origin=RASTER_ORIGIN, resolution=RASTER_RES_DEG)
+    return out.select("doc_id", "row", "col", "occ").orderBy("doc_id")
+
+
+# --- text / dedup / similarity ------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    return TX.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_quality_scores(spark, sf_dir):
+    return TX.quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    return TX.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_fingerprints(spark, sf_dir):
+    return TX.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_docs(spark, sf_dir)).orderBy("text_md5")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=(1, 4)).orderBy("a", "b")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return D.lsh_candidate_pairs(_docs(spark, sf_dir)).orderBy("a", "b")
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir)).orderBy("id")
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return (SIM.cosine_topk(emb, q, KNN_K)
+            .select("query_id", "target_id", F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return (SIM.lsh_bucket_topk(emb, q, KNN_K)
+            .select("query_id", "target_id", F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
+# --- relational operator surface on the star schema -----------------------------
+
+def q_agg_lineitem(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation (partial agg map-side, one shuffle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # sums in DECIMAL so the result is order-of-summation independent and
+    # bit-identical to the oracle
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_broadcast_join_agg(spark, sf_dir):
+    """Broadcast dim join: orders x customer -> per-mktsegment revenue."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+            .orderBy("c_mktsegment"))
+
+
+def q_window_topk(spark, sf_dir):
+    """Top-3 orders per customer by totalprice (window + rank)."""
+    from pyspark.sql import Window
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (orders.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", F.col("rk").cast("long").alias("rk"))
+            .orderBy("o_custkey", "rk"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + running sum)."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    lag_ms = F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+    gap = ms - lag_ms
+    new_s = F.when(gap.isNull() | (gap > 1800_000), 1).otherwise(0)
+    sess = F.sum(new_s).over(w)
+    return (ev.withColumn("session_no", sess.cast("long"))
+            .groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("user_id", "session_no"))
+
+
+def q_set_ops(spark, sf_dir):
+    """Anti-join set op: customers with no orders."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey").orderBy("c_custkey"))
+
+
+def q_distinct_tiles_per_lang(spark, sf_dir):
+    """count(distinct) over the tiling: distinct coarse tiles per doc lang."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lon, lat = synth.geocode_arith_cols(F.col("doc_id"))
+    tiled = docs.select("doc_id", "lang", lon.alias("lon"), lat.alias("lat"))
+    tiled = PJ.assign_tiles(tiled, res=DENSITY_RES)
+    return (tiled.groupBy("lang")
+            .agg(F.countDistinct("cell_id").alias("n_tiles"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_join": q_pip_join,
+        "pip_join_partitioned": q_pip_join_partitioned,
+        "pip_counts": q_pip_counts,
+        "pip_semi": q_pip_semi,
+        "pip_anti": q_pip_anti,
+        "tile_assignment": q_tile_assignment,
+        "tile_density": q_tile_density,
+        "knn": q_knn,
+        "raster_lookup": q_raster_lookup,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        "agg_lineitem": q_agg_lineitem,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "window_topk": q_window_topk,
+        "events_sessionize": q_events_sessionize,
+        "set_ops": q_set_ops,
+        "distinct_tiles_per_lang": q_distinct_tiles_per_lang,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect; documents/embeddings/... are pre-registered views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = _docs_points_cte_view()
+    pip = winding_join_sql(pts, _LAYER)
+    lon_sql, lat_sql = synth.geocode_arith_sql("doc_id")
+    return {
+        "pip_join": f"SELECT point_id, polygon_id FROM ({pip}) ORDER BY 1, 2",
+        "pip_join_partitioned": f"SELECT point_id, polygon_id FROM ({pip}) ORDER BY 1, 2",
+        "pip_counts": (f"SELECT polygon_id, COUNT(*) AS n_docs FROM ({pip}) "
+                       f"GROUP BY 1 ORDER BY 1"),
+        "pip_semi": (f"SELECT DISTINCT point_id AS doc_id FROM ({pip}) ORDER BY 1"),
+        "pip_anti": (f"SELECT doc_id FROM ({pts}) "
+                     f"WHERE doc_id NOT IN (SELECT point_id FROM ({pip})) ORDER BY 1"),
+        "tile_assignment": (
+            f"SELECT doc_id, {C.cell_id_sql('lon', 'lat', TILE_RES)} AS cell_id "
+            f"FROM ({pts}) ORDER BY doc_id"),
+        "tile_density": (
+            f"SELECT {C.cell_id_sql('lon', 'lat', DENSITY_RES)} AS cell_id, "
+            f"COUNT(*) AS n_docs FROM ({pts}) GROUP BY 1 "
+            f"HAVING COUNT(*) >= 2 ORDER BY n_docs DESC, cell_id"),
+        "knn": (knn_sql_oracle(pts, f"doc_id % {KNN_FILTER_MOD} = 0", KNN_K)
+                + " ORDER BY query_id, rank"),
+        "raster_lookup": (
+            raster_lookup_sql(pts, _RASTER_CTE, RASTER_ORIGIN, RASTER_RES_DEG)
+            + " ORDER BY doc_id"),
+        "token_counts": TX.token_counts_sql("documents") + " ORDER BY doc_id",
+        "quality_scores": TX.quality_scores_sql("documents") + " ORDER BY doc_id",
+        "lang_id": TX.lang_id_sql("documents") + " ORDER BY doc_id",
+        "fingerprints": TX.fingerprints_sql("documents") + " ORDER BY doc_id",
+        "dedup_exact": D.exact_duplicates_sql("documents") + " ORDER BY text_md5",
+        "ngram_jaccard": (D.ngram_jaccard_pairs_sql("documents", threshold=(1, 4))
+                          + " ORDER BY a, b"),
+        "minhash_lsh": D.lsh_candidate_pairs_sql("documents") + " ORDER BY a, b",
+        "simhash": D.simhash_sql("documents") + " ORDER BY id",
+        "ann_cosine": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
+                       + " ORDER BY query_id, rank"),
+        # ann_lsh: rows-only (bucket internals use JVM xxhash64; exactness is
+        # covered by tests/test_text_ops.py recall tests)
+        "agg_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "broadcast_join_agg": """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1""",
+        "window_topk": """
+SELECT o_custkey, o_orderkey, rk FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+        "events_sessionize": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, COUNT(*) AS n_events
+FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+        "set_ops": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY 1""",
+        "distinct_tiles_per_lang": (
+            f"SELECT lang, COUNT(DISTINCT {C.cell_id_sql(lon_sql, lat_sql, DENSITY_RES)}) AS n_tiles, "
+            f"COUNT(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1"),
+    }

@@ -144,9 +144,9 @@ sig AS (
   SELECT id, seed, MIN({h}) AS minhash FROM seeded GROUP BY id, seed
 ),
 banded AS (
-  SELECT id, CAST(seed / {BAND_SIZE} AS INT) AS band,
+  SELECT id, CAST(seed // {BAND_SIZE} AS INT) AS band,
          array_to_string(list_sort(list(seed || '=' || minhash)), ',') AS bkey
-  FROM sig GROUP BY id, CAST(seed / {BAND_SIZE} AS INT)
+  FROM sig GROUP BY id, CAST(seed // {BAND_SIZE} AS INT)
 )
 SELECT DISTINCT x.id AS a, y.id AS b
 FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
@@ -180,6 +180,6 @@ bits AS (
   FROM tok, range({SIMHASH_BITS}) b(bit)
 ),
 per_bit AS (SELECT id, bit, SUM(c) AS v FROM bits GROUP BY id, bit)
-SELECT id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM per_bit GROUP BY id
 """

@@ -153,7 +153,7 @@ pos AS (
 SELECT t.{id_col}, coalesce(s.fp, 0) AS fingerprint
 FROM toks t
 LEFT JOIN (
-  SELECT {id_col}, SUM((pos + 1) * {_tok_int_sql('tok')}) % {MOD} AS fp
+  SELECT {id_col}, CAST(SUM((pos + 1) * {_tok_int_sql('tok')}) % {MOD} AS BIGINT) AS fp
   FROM pos GROUP BY {id_col}
 ) s USING ({id_col})
 """
