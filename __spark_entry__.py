@@ -150,7 +150,7 @@ def q_tile_density(spark, sf_dir):
 def q_knn(spark, sf_dir):
     pts = _docs_points(spark, sf_dir)
     queries = pts.filter(F.col("doc_id") % KNN_FILTER_MOD == 0)
-    got = knn_join(queries, pts, KNN_K, res=8, query_id="doc_id", target_id="doc_id")
+    got = knn_join(queries, pts, KNN_K, query_id="doc_id", target_id="doc_id")
     return got.select("query_id", "target_id", F.col("rank").cast("long").alias("rank")) \
               .orderBy("query_id", "rank")
 

@@ -1,0 +1,105 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <seconds>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "pip_docs_per_sec": ..., "kernel_pip_pts_per_sec": ..., "cpus": ...}
+
+Headline: the flagship PIP spatial join — geocode -> Z-order tile -> cell
+equi-join -> bbox refine -> exact float32 winding kernel — over
+BENCH_PAGES synthetic Common-Crawl-style pages (pure column arithmetic
+generation; no disk read so the number measures the join pipeline).
+Secondary: representative operator queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR, and the reference's own kernel workload
+(10^6 points x star8 polygon; BASELINE.md rows 1-3) on one core.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def bench_kernel_pip() -> float:
+    """Reference workload: 10^6-point meshgrid vs star8 (examples/polytest.py)."""
+    from polycheck_spark.geo.kernel import contains
+    from polycheck_spark.data.polygons import GOLDEN_POLYGONS
+    dots = np.linspace(-8, 8, 1000)
+    xs, ys = np.meshgrid(dots, dots, indexing="xy")
+    pts = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.float32)
+    poly = GOLDEN_POLYGONS["star8"]
+    contains(poly, pts[:1000])  # warm
+    t0 = time.time()
+    res = contains(poly, pts)
+    dt = time.time() - t0
+    assert 0 < res.sum() < len(pts)
+    return len(pts) / dt
+
+
+def bench_pip_join(spark, num_pages: int) -> tuple[float, int]:
+    from pyspark.sql import functions as F
+    from polycheck_spark.data import synth
+    from polycheck_spark.data.polygons import default_query_layer
+    from polycheck_spark.operators import pip_join as PJ
+    pages = synth.generate_pages(spark, num_pages).select("url")
+    lon, lat = synth.geocode_url_cols(F.col("url"))
+    pts = pages.withColumn("lon", lon).withColumn("lat", lat)
+    layer = default_query_layer()
+    t0 = time.time()
+    n = PJ.pip_join(spark, pts, layer).count()
+    return time.time() - t0, n
+
+
+def main():
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_pages = int(os.environ.get("BENCH_PAGES", "2000000"))
+
+    from polycheck_spark.session import get_spark
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    # headline: spatial-join throughput
+    pip_sec, pip_rows = bench_pip_join(spark, num_pages)
+    queries["pip_join_pages"] = round(pip_sec, 3)
+    docs_per_sec = num_pages / pip_sec
+
+    # reference kernel workload (single core, BASELINE.md comparison)
+    kernel_pps = bench_kernel_pip()
+
+    # representative operator queries on the sf tables
+    import __spark_entry__ as E
+    qs = E.queries()
+    for name in ["pip_join", "tile_assignment", "knn", "minhash_lsh",
+                 "ann_cosine", "agg_lineitem", "events_sessionize"]:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = sum(queries.values())
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "bench_suite_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "pip_docs_per_sec": round(docs_per_sec),
+        "pip_join_rows": pip_rows,
+        "bench_pages": num_pages,
+        "kernel_pip_pts_per_sec": round(kernel_pps),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

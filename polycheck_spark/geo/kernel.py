@@ -79,21 +79,57 @@ def contains(polygon: np.ndarray, points: np.ndarray) -> np.ndarray:
     """
     poly = np.asarray(polygon, dtype=np.float32).reshape(-1, 2)
     pts = np.asarray(points, dtype=np.float32).reshape(-1, 2)
-    px = pts[:, 0]
-    py = pts[:, 1]
-    wn = np.zeros(len(pts), dtype=np.int64)
-
+    n = len(pts)
+    out = np.empty(n, dtype=np.float32)
     v1 = poly
     v2 = np.roll(poly, -1, axis=0)
-    for (v1x, v1y), (v2x, v2y) in zip(v1, v2):
-        # side() in float32, no FMA — same as the Python oracle.
-        side = (v2x - v1x) * (py - v1y) - (px - v1x) * (v2y - v1y)
-        if True:  # keep per-edge branch structure explicit
-            up = (v1y <= py) & (v2y > py) & (side > 0)
-            down = (v1y > py) & (v2y <= py) & (side < 0)
-            wn += up.astype(np.int64)
-            wn -= down.astype(np.int64)
-    return (wn != 0).astype(np.float32)
+
+    # Chunked so per-edge temporaries stay L2-resident: the winding loop is
+    # bandwidth-bound when run over the whole point array at once, and DRAM
+    # bandwidth is the shared resource that kills multi-core scaling.
+    CHUNK = 16384
+    scr = np.empty(min(n, CHUNK), dtype=np.float32)   # side accumulator
+    t = np.empty(min(n, CHUNK), dtype=np.float32)     # temp
+    wn = np.empty(min(n, CHUNK), dtype=np.int32)
+    mask = np.empty(min(n, CHUNK), dtype=bool)
+    m2 = np.empty(min(n, CHUNK), dtype=bool)
+    for lo in range(0, n, CHUNK):
+        hi = min(lo + CHUNK, n)
+        c = hi - lo
+        px = pts[lo:hi, 0]
+        py = pts[lo:hi, 1]
+        wn_c = wn[:c]
+        wn_c[:] = 0
+        for (v1x, v1y), (v2x, v2y) in zip(v1, v2):
+            side = scr[:c]
+            tmp = t[:c]
+            # side = (v2x-v1x)*(py-v1y) - (px-v1x)*(v2y-v1y), float32, no FMA
+            np.subtract(py, v1y, out=side)
+            side *= (v2x - v1x)
+            np.subtract(px, v1x, out=tmp)
+            tmp *= (v2y - v1y)
+            side -= tmp
+            up = mask[:c]
+            dn = m2[:c]
+            if v1y <= v2y:
+                # possible upward crossing: v1y <= py < v2y and side > 0
+                np.greater_equal(py, v1y, out=up)
+                np.less(py, v2y, out=dn)
+                up &= dn
+                np.greater(side, 0, out=dn)
+                up &= dn
+                wn_c += up
+            else:
+                # possible downward crossing: v2y <= py < v1y and side < 0
+                np.greater_equal(py, v2y, out=up)
+                np.less(py, v1y, out=dn)
+                up &= dn
+                np.less(side, 0, out=dn)
+                up &= dn
+                wn_c -= up
+        np.not_equal(wn_c, 0, out=mask[:c])
+        out[lo:hi] = mask[:c]
+    return out
 
 
 def pack_polygons_csr(polygons) -> tuple[np.ndarray, np.ndarray]:

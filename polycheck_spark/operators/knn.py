@@ -51,18 +51,30 @@ def _candidates(queries: DataFrame, targets_indexed: DataFrame, ring: int, res: 
         (F.col("qlon") - F.col("tlon")) ** 2 + (F.col("qlat") - F.col("tlat")) ** 2)
 
 
+def auto_res(n_targets: int, k: int) -> int:
+    """Pick a cell resolution so the initial ring's (2r+1)^2 cells are
+    expected to hold >= ~2k targets under a uniform spread: keeps round 1
+    satisfying most queries instead of escalating."""
+    import math
+    if n_targets <= 0:
+        return 2
+    target_cells = max(1.0, n_targets * 25.0 / (2.0 * k))
+    return max(1, min(C.MAX_RES, int(math.log(target_cells, 4) / 1)))
+
+
 def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
-             res: int = 6, initial_ring: int = 2, max_rounds: int = 4,
+             res: int | None = None, initial_ring: int = 2, max_rounds: int = 4,
              query_id: str = "query_id", target_id: str = "target_id",
              qlon: str = "lon", qlat: str = "lat",
              tlon: str = "lon", tlat: str = "lat") -> DataFrame:
     """Returns (query_id, target_id, dist2, rank) with rank in [1, k].
 
-    ``res`` picks candidate-cell granularity: choose so an average cell holds
-    ~k/ (ring area) targets. Escalation makes any res correct; res only
-    affects cost.
+    ``res`` picks candidate-cell granularity (None = derive from target
+    count). Escalation makes any res correct; res only affects cost.
     """
     spark = queries.sparkSession
+    if res is None:
+        res = auto_res(targets.count(), k)
     q0 = queries.select(F.col(query_id).alias("query_id"),
                         F.col(qlon).alias("qlon"), F.col(qlat).alias("qlat"))
     qix, qiy = C.ixiy_cols(F.col("qlon"), F.col("qlat"), res)

@@ -68,6 +68,21 @@ def polygon_cover_rows(layer: list[dict], res: int) -> list[tuple[int, int]]:
     return rows
 
 
+def _build_side_df(spark, layer: list[dict], res: int) -> "DataFrame":
+    """One flat build-side table (cell_id, polygon_id, bbox) — denormalized on
+    the driver so the build plan is a single local scan, no join/shuffle."""
+    rows = []
+    for p in layer:
+        xs = [float(np.float32(x)) for x, _ in p["vertices"]]
+        ys = [float(np.float32(y)) for _, y in p["vertices"]]
+        bbox = (min(xs), min(ys), max(xs), max(ys))
+        for cid in C.cells_covering_bbox(*bbox, res):
+            rows.append((int(cid), p["polygon_id"], *bbox))
+    return spark.createDataFrame(
+        rows, "cell_id long, polygon_id long, xmin double, ymin double, "
+              "xmax double, ymax double")
+
+
 def _pip_udf(spark, layer: list[dict]):
     """Arrow-batched predicate: (lon, lat, polygon_id) -> bool.
 
@@ -119,15 +134,14 @@ def pip_join(spark, pages: DataFrame, layer: list[dict], *,
     """
     res = cover_res if cover_res is not None else choose_cover_res(layer)
     probe = pages.withColumn("cell_id", C.cell_id_col(F.col(lon_col), F.col(lat_col), res))
-    cover = polygon_cover_rows(layer, res)
-    bboxes = _bbox_df(spark, layer)
 
     if mode == "broadcast":
-        build = spark.createDataFrame(cover, "cell_id long, polygon_id long") \
-                     .join(bboxes, "polygon_id")
+        build = _build_side_df(spark, layer, res)
         cand = probe.join(F.broadcast(build), "cell_id")
     elif mode == "partitioned":
         hot = set(hot_cells or [])
+        cover = polygon_cover_rows(layer, res)
+        bboxes = _bbox_df(spark, layer)
         build_rows = []
         for cid, pid in cover:
             if cid in hot:
