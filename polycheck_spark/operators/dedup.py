@@ -110,23 +110,32 @@ WHERE p.n_common * {den} >= {num} * (sa.n + sb.n - p.n_common)
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """(id, seed, minhash): N_MINHASH md5-derived min-hashes per doc."""
+    """(id, m0..m{N-1}): N_MINHASH md5-derived min-hashes per doc.
+
+    One shingle pass, N_MINHASH min-aggregates computed side by side — no
+    N_MINHASH-fold row explosion (at 10^12 docs the shingle table is already
+    the dominant shuffle; multiplying it by 16 would be the bottleneck).
+    """
     sh = _shingles(docs, id_col, text_col)
-    seeded = sh.withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(N_MINHASH)])))
-    h = _tok_int(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-    return (seeded.groupBy("id", "seed").agg(F.min(h).alias("minhash")))
+    mins = [F.min(_tok_int(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+            for i in range(N_MINHASH)]
+    return sh.groupBy("id").agg(*mins)
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """Near-dup candidates: pairs agreeing on all BAND_SIZE hashes of >=1 band."""
     sig = minhash_signatures(docs, id_col, text_col)
-    banded = (sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
-              .groupBy("id", "band")
-              .agg(F.concat_ws(",", F.array_sort(
-                  F.collect_list(F.concat_ws("=", F.col("seed").cast("string"),
-                                             F.col("minhash").cast("string"))))).alias("bkey")))
-    pairs = (banded.alias("x").join(banded.alias("y"), ["band", "bkey"])
+    n_bands = N_MINHASH // BAND_SIZE
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws(",", *[F.col(f"m{b * BAND_SIZE + j}").cast("string")
+                                        for j in range(BAND_SIZE)]).alias("bkey"))
+            for b in range(n_bands)])).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    pairs = (bands.alias("x").join(bands.alias("y"), ["band", "bkey"])
              .filter(F.col("x.id") < F.col("y.id"))
              .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
              .distinct())
@@ -134,20 +143,18 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
-    h = _tok_int_sql("(seed || ':' || shingle)")
+    n_bands = N_MINHASH // BAND_SIZE
+    mins = ", ".join(
+        "MIN({h}) AS m{i}".format(h=_tok_int_sql(f"('{i}:' || shingle)"), i=i)
+        for i in range(N_MINHASH))
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band, ({key}) AS bkey FROM sig".format(
+            b=b, key=" || ',' || ".join(f"m{b * BAND_SIZE + j}" for j in range(BAND_SIZE)))
+        for b in range(n_bands))
     return f"""
 WITH sh AS ({_shingles_sql(table, id_col, text_col)}),
-seeded AS (
-  SELECT id, shingle, s.seed FROM sh, range({N_MINHASH}) s(seed)
-),
-sig AS (
-  SELECT id, seed, MIN({h}) AS minhash FROM seeded GROUP BY id, seed
-),
-banded AS (
-  SELECT id, CAST(seed // {BAND_SIZE} AS INT) AS band,
-         array_to_string(list_sort(list(seed || '=' || minhash)), ',') AS bkey
-  FROM sig GROUP BY id, CAST(seed // {BAND_SIZE} AS INT)
-)
+sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+banded AS ({band_rows})
 SELECT DISTINCT x.id AS a, y.id AS b
 FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
 """

@@ -1,0 +1,100 @@
+"""Structured Streaming surface.
+
+The reference has no streaming semantics (SURVEY.md §2: no watermarks,
+windows, or state), so this module is the engine-level incremental path:
+
+* :func:`stream_pip_join` — ``readStream`` over a pages directory ->
+  ``foreachBatch`` reusing the *identical* batch ``pip_join`` -> append sink.
+  foreachBatch is the right shape here: the join's build side is broadcast
+  and stateless, so each micro-batch is exactly the batch operator, and the
+  sink commits via the streaming checkpoint (exactly-once per batch id).
+* :func:`stream_tile_counts` — event-time windowed aggregation: pages per
+  (time window, coarse tile) with a watermark bounding late-data state.
+
+Both run with ``trigger(availableNow=True)`` in tests — the batch-equivalent
+guarantee is asserted against the batch operators on the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from polycheck_spark.geo import cells as C
+from polycheck_spark.operators import pip_join as PJ
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def read_pages_stream(spark: SparkSession, source_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def stream_pip_join(spark: SparkSession, source_dir: str, layer: list[dict],
+                    out_dir: str, checkpoint_dir: str, *,
+                    available_now: bool = True):
+    """Incremental PIP join: each micro-batch runs the batch operator and
+    appends (url, polygon_id, cell_id, text_sha) to the sink."""
+    from polycheck_spark.data.synth import geocode_url_cols
+
+    stream = read_pages_stream(spark, source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lon, lat = geocode_url_cols(F.col("url"))
+        pts = batch_df.withColumn("lon", lon).withColumn("lat", lat)
+        joined = PJ.pip_join(spark, pts, layer)
+        (joined.select("url", "polygon_id", "cell_id", "lon", "lat",
+                       F.sha2(F.col("text"), 256).alias("text_sha"))
+         .write.mode("append").parquet(out_dir))
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_tile_counts(spark: SparkSession, source_dir: str, *,
+                       res: int = 4, window: str = "1 hour",
+                       watermark: str = "2 hours",
+                       out_dir: str, checkpoint_dir: str,
+                       available_now: bool = True,
+                       max_files_per_trigger: int | None = 1):
+    """Watermarked event-time aggregation: page counts per (window, tile).
+
+    State is bounded by the watermark: tiles stop accepting pages once
+    event time passes ``watermark`` behind the max seen — the standard
+    late-data contract for an append-mode windowed aggregate.
+    """
+    from polycheck_spark.data.synth import geocode_url_cols
+
+    # window results emit on the micro-batch AFTER the watermark passes them,
+    # so bounded replays must span several batches (one file per trigger)
+    stream = read_pages_stream(spark, source_dir, max_files_per_trigger)
+    lon, lat = geocode_url_cols(F.col("url"))
+    tiled = (stream.withColumn("lon", lon).withColumn("lat", lat)
+             .withColumn("cell_id", C.cell_id_col(F.col("lon"), F.col("lat"), res))
+             .withWatermark("warc_ts", watermark))
+    counts = (tiled.groupBy(F.window("warc_ts", window).alias("w"), "cell_id")
+              .agg(F.count(F.lit(1)).alias("n_pages"))
+              .select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      "cell_id", "n_pages"))
+    writer = (counts.writeStream.outputMode("append")
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,98 @@
+"""Structured Streaming: batch-equivalence of the incremental pipelines."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polycheck_spark.data import synth
+from polycheck_spark.data.polygons import default_query_layer
+from polycheck_spark.operators import pip_join as PJ
+from polycheck_spark.streaming import pipeline as SP
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    """Pages written as several parquet files (stream input chunks)."""
+    d = str(tmp_path_factory.mktemp("pages_src"))
+    for i in range(3):
+        synth.generate_pages(spark, 3000).filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i) \
+            .write.mode("append").parquet(d)
+    return d
+
+
+def test_stream_pip_join_equals_batch(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    layer = default_query_layer()
+    q = SP.stream_pip_join(spark, source_dir, layer, out, ckpt)
+    q.awaitTermination(300)
+
+    got = sorted((r["url"], r["polygon_id"])
+                 for r in spark.read.parquet(out).collect())
+
+    pages = spark.read.parquet(source_dir)
+    lon, lat = synth.geocode_url_cols(F.col("url"))
+    pts = pages.withColumn("lon", lon).withColumn("lat", lat)
+    exp = sorted((r["url"], r["polygon_id"])
+                 for r in PJ.pip_join(spark, pts, layer)
+                 .select("url", "polygon_id").collect())
+    assert got == exp and len(got) > 0
+
+
+def test_stream_resume_processes_only_new_files(spark, source_dir, tmp_path):
+    """Restarting the stream after new files arrive appends only their rows
+    (streaming checkpoint = exactly-once per input file)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    layer = default_query_layer()
+    SP.stream_pip_join(spark, source_dir, layer, out, ckpt).awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+
+    # restart with no new input: nothing is reprocessed
+    SP.stream_pip_join(spark, source_dir, layer, out, ckpt).awaitTermination(300)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_tile_counts_watermark_semantics(spark, tmp_path):
+    """With time-ordered input files nothing arrives late, so every window the
+    watermark released must match the batch count exactly; windows newer than
+    the final watermark stay unemitted (append-mode contract)."""
+    import time as _time
+    source_dir = str(tmp_path / "ordered_src")
+    pages_all = synth.generate_pages(spark, 9000).cache()
+    bounds = pages_all.agg(F.min("warc_ts"), F.max("warc_ts")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    import datetime as _dt
+    span = (hi - lo) / 3
+    for i in range(3):
+        upper = lo + span * (i + 1) if i < 2 else hi + _dt.timedelta(seconds=1)
+        chunk = pages_all.filter(
+            (F.col("warc_ts") >= F.lit(lo + span * i))
+            & (F.col("warc_ts") < F.lit(upper))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(source_dir)
+        _time.sleep(1.2)  # distinct mtimes -> files stream oldest-first
+
+    out = str(tmp_path / "tiles")
+    ckpt = str(tmp_path / "tiles_ckpt")
+    q = SP.stream_tile_counts(spark, source_dir, res=3, window="1 hour",
+                              watermark="1 hour", out_dir=out, checkpoint_dir=ckpt)
+    q.awaitTermination(300)
+    got = {(r["window_start"], r["cell_id"]): r["n_pages"]
+           for r in spark.read.parquet(out).collect()}
+    assert got, "watermark must have released at least the early windows"
+
+    # batch equivalent, restricted to windows the watermark released
+    pages = spark.read.parquet(source_dir)
+    lon, lat = synth.geocode_url_cols(F.col("url"))
+    from polycheck_spark.geo import cells as C
+    tiled = (pages.withColumn("lon", lon).withColumn("lat", lat)
+             .withColumn("cell_id", C.cell_id_col(F.col("lon"), F.col("lat"), 3)))
+    max_ts = tiled.agg(F.max("warc_ts")).collect()[0][0]
+    exp_all = (tiled.groupBy(F.window("warc_ts", "1 hour").alias("w"), "cell_id")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+                       "cell_id", "n").collect())
+    import datetime
+    wm = max_ts - datetime.timedelta(hours=1)
+    exp = {(r["ws"], r["cell_id"]): r["n"] for r in exp_all if r["we"] <= wm}
+    assert got == exp
