@@ -56,14 +56,16 @@ def generate_pages(spark: SparkSession, num_pages: int, partitions: int | None =
 def geocode_url_cols(url_col):
     """(lon, lat) Columns geocoding a url deterministically, with hot spots.
 
-    Pure JVM expressions (xxhash64 + arithmetic) — whole-stage codegen, no UDF.
+    Pure JVM expressions — ONE xxhash64 over the string, then integer mixing
+    (hashing the url five times would dominate the geocode cost at scale).
     """
-    u1 = F.pmod(F.xxhash64(url_col, F.lit(11)), F.lit(1_000_000_007)) / F.lit(1_000_000_007.0)
-    u2 = F.pmod(F.xxhash64(url_col, F.lit(12)), F.lit(999_999_937)) / F.lit(999_999_937.0)
+    hm = F.pmod(F.xxhash64(url_col), F.lit(1_000_000_007))  # one hash, < 2^30
+    u1 = hm / F.lit(1_000_000_007.0)
+    u2 = F.pmod(hm * F.lit(2654435761) + F.lit(40503), F.lit(999_999_937)) / F.lit(999_999_937.0)
     lon_uniform = F.lit(-180.0) + u1 * F.lit(360.0)
     lat_uniform = F.lit(-90.0) + u2 * F.lit(180.0)
-    is_hot = F.pmod(F.xxhash64(url_col, F.lit(13)), F.lit(100)) < F.lit(HOT_PERCENT)
-    hot_idx = F.pmod(F.xxhash64(url_col, F.lit(14)), F.lit(len(HOT_CENTERS)))
+    is_hot = F.pmod(hm * F.lit(2246822519) + F.lit(104729), F.lit(100)) < F.lit(HOT_PERCENT)
+    hot_idx = F.pmod(hm * F.lit(97) + F.lit(13), F.lit(len(HOT_CENTERS)))
     hot_lon = F.element_at(F.array(*[F.lit(c[0]) for c in HOT_CENTERS]), (hot_idx + 1).cast("int"))
     hot_lat = F.element_at(F.array(*[F.lit(c[1]) for c in HOT_CENTERS]), (hot_idx + 1).cast("int"))
     # hot pages scatter +-0.005 deg around the hot center (all in one fine cell)
