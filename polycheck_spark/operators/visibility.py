@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from polycheck_spark.geo import kernel as K
+from polycheck_spark.geo import kernel_batch as KB
 
 TWO_PI = 2.0 * math.pi
 
@@ -114,8 +115,11 @@ def visibility_df(spark, data, start, ends_df: DataFrame, max_range=None) -> Dat
     @F.pandas_udf(T.FloatType())
     def walk(ex: pd.Series, ey: pd.Series) -> pd.Series:
         grid = bc.value
-        return pd.Series([K.line_observation(grid, sx, sy, int(x), int(y), mr)
-                          for x, y in zip(ex, ey)], dtype=np.float32)
+        exs = ex.to_numpy(np.int64)
+        eys = ey.to_numpy(np.int64)
+        vis = KB.line_observation_batch(
+            grid, np.full(len(exs), sx), np.full(len(exs), sy), exs, eys, mr)
+        return pd.Series(vis)
 
     return ends_df.withColumn("vis", walk(F.col("ex"), F.col("ey")))
 
@@ -158,9 +162,9 @@ def visibility_from_region_df(spark, data, starts_df: DataFrame, ends_df: DataFr
         @F.pandas_udf(T.FloatType())
         def walk(sx: pd.Series, sy: pd.Series, ex: pd.Series, ey: pd.Series) -> pd.Series:
             grid = bc.value
-            return pd.Series([
-                K.line_observation(grid, int(a), int(b), int(c), int(d), int(mr))
-                for a, b, c, d in zip(sx, sy, ex, ey)], dtype=np.float32)
+            return pd.Series(KB.line_observation_batch(
+                grid, sx.to_numpy(np.int64), sy.to_numpy(np.int64),
+                ex.to_numpy(np.int64), ey.to_numpy(np.int64), int(mr)))
 
     vis = walk(F.col("sx"), F.col("sy"), F.col("ex"), F.col("ey"))
     if mr > 0:
@@ -228,15 +232,29 @@ def sensor_visibility_df(spark, data, sensors_df: DataFrame, combine: str = "uni
     origin_t = (float(origin[0]), float(origin[1])) if real else None
     res_t = float(resolution) if real else None
 
-    @F.pandas_udf(T.FloatType())
-    def pair_obs(x: pd.Series, y: pd.Series, rng: pd.Series, drn: pd.Series,
-                 fov: pd.Series, exs: pd.Series, eys: pd.Series) -> pd.Series:
-        grid = bc.value
-        return pd.Series([
-            K.sensor_cell_observation(grid, (a, b, r, d, f), int(cx), int(cy),
-                                      origin=origin_t, resolution=res_t)
-            for a, b, r, d, f, cx, cy in zip(x, y, rng, drn, fov, exs, eys)],
-            dtype=np.float32)
+    if real:
+        @F.pandas_udf(T.FloatType())
+        def pair_obs(x: pd.Series, y: pd.Series, rng: pd.Series, drn: pd.Series,
+                     fov: pd.Series, exs: pd.Series, eys: pd.Series) -> pd.Series:
+            grid = bc.value
+            return pd.Series([
+                K.sensor_cell_observation(grid, (a, b, r, d, f), int(cx), int(cy),
+                                          origin=origin_t, resolution=res_t)
+                for a, b, r, d, f, cx, cy in zip(x, y, rng, drn, fov, exs, eys)],
+                dtype=np.float32)
+        udf_inputs = [F.col("x"), F.col("y")]
+    else:
+        # grid regime: lockstep-vectorized gate + sum walk over the whole batch
+        @F.pandas_udf(T.FloatType())
+        def pair_obs(x: pd.Series, y: pd.Series, rng: pd.Series, drn: pd.Series,
+                     fov: pd.Series, exs: pd.Series, eys: pd.Series) -> pd.Series:
+            grid = bc.value
+            return pd.Series(KB.sensor_cell_observation_grid_batch(
+                grid, x.to_numpy(np.int64), y.to_numpy(np.int64),
+                exs.to_numpy(np.int64), eys.to_numpy(np.int64),
+                rng.to_numpy(np.float64), drn.to_numpy(np.float64),
+                fov.to_numpy(np.float64)))
+        udf_inputs = [F.col("scx"), F.col("scy")]
 
     # The exact float32 gate lives INSIDE the kernel (polycheck.py:735-748);
     # the Column gate below is a strictly-conservative prefilter (slack covers
@@ -247,7 +265,7 @@ def sensor_visibility_df(spark, data, sensors_df: DataFrame, combine: str = "uni
     walk_part = pairs.filter(gate).withColumn(
         "p",
         F.when(zero_range, F.when(own_cell, F.lit(1.0)).otherwise(F.lit(0.0)))
-         .otherwise(pair_obs(F.col("x"), F.col("y"), F.col("range"),
+         .otherwise(pair_obs(*udf_inputs, F.col("range"),
                              F.col("direction"), F.col("fov"),
                              F.col("ex"), F.col("ey"))).cast("float"))
     pruned_part = pairs.filter(~gate).withColumn("p", F.lit(0.0).cast("float"))

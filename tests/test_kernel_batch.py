@@ -1,0 +1,86 @@
+"""Lockstep batch walks must equal the scalar reference kernels exactly."""
+
+import numpy as np
+
+from polycheck_spark.geo import kernel as K
+from polycheck_spark.geo import kernel_batch as KB
+
+
+def _random_cases(seed, n, h, w, occ_density=0.15):
+    rng = np.random.RandomState(seed)
+    grid = np.zeros((h, w), dtype=np.float32)
+    m = rng.rand(h, w) < occ_density
+    grid[m] = rng.rand(m.sum()).astype(np.float32)
+    # include out-of-bounds endpoints to exercise the bounds branches
+    sx = rng.randint(-2, w + 2, n)
+    sy = rng.randint(-2, h + 2, n)
+    ex = rng.randint(-2, w + 2, n)
+    ey = rng.randint(-2, h + 2, n)
+    return grid, sx, sy, ex, ey
+
+
+def test_sum_batch_equals_scalar():
+    for seed in range(5):
+        grid, sx, sy, ex, ey = _random_cases(seed, 400, 15 + seed, 20)
+        got = KB.line_observation_sum_batch(grid, sx, sy, ex, ey)
+        exp = np.array([K.line_observation_sum(grid, a, b, c, d)
+                        for a, b, c, d in zip(sx, sy, ex, ey)], dtype=np.float32)
+        assert np.array_equal(got, exp), seed
+
+
+def test_product_batch_equals_scalar():
+    for seed in range(5):
+        # product walk has no bounds checks in the reference -> in-grid only
+        rng = np.random.RandomState(100 + seed)
+        h, w = 18, 22
+        grid = np.zeros((h, w), dtype=np.float32)
+        m = rng.rand(h, w) < 0.2
+        grid[m] = rng.rand(m.sum()).astype(np.float32)
+        n = 400
+        sx = rng.randint(0, w, n)
+        sy = rng.randint(0, h, n)
+        ex = rng.randint(0, w, n)
+        ey = rng.randint(0, h, n)
+        for mr in (0, 7):
+            got = KB.line_observation_batch(grid, sx, sy, ex, ey, mr)
+            exp = np.array([K.line_observation(grid, a, b, c, d, mr)
+                            for a, b, c, d in zip(sx, sy, ex, ey)], dtype=np.float32)
+            assert np.array_equal(got, exp), (seed, mr)
+
+
+def test_sensor_grid_batch_equals_scalar():
+    import math
+    rng = np.random.RandomState(3)
+    h, w = 12, 14
+    grid = np.zeros((h, w), dtype=np.float32)
+    m = rng.rand(h, w) < 0.2
+    grid[m] = rng.rand(m.sum()).astype(np.float32)
+    n = 600
+    scx = rng.randint(0, w, n)
+    scy = rng.randint(0, h, n)
+    ex = rng.randint(0, w, n)
+    ey = rng.randint(0, h, n)
+    ranges = rng.choice([0.0, 1.0, 3.5, 5.0, 20.0], n)
+    drn = rng.uniform(-math.pi, math.pi, n)
+    fov = rng.choice([math.pi / 4, math.pi / 2, math.pi, 2 * math.pi], n)
+    got = KB.sensor_cell_observation_grid_batch(grid, scx, scy, ex, ey, ranges, drn, fov)
+    exp = np.array([
+        K.sensor_cell_observation(grid, (float(a), float(b), float(r), float(d), float(f)),
+                                  int(cx), int(cy))
+        for a, b, r, d, f, cx, cy in zip(scx, scy, ranges, drn, fov, ex, ey)],
+        dtype=np.float32)
+    assert np.array_equal(got, exp)
+
+
+def test_batch_throughput_sane():
+    """The batch walk should be >=10x the scalar loop on a big batch."""
+    import time
+    grid, sx, sy, ex, ey = _random_cases(7, 20000, 50, 50, 0.05)
+    t0 = time.time()
+    KB.line_observation_sum_batch(grid, sx, sy, ex, ey)
+    t_batch = time.time() - t0
+    t0 = time.time()
+    for a, b, c, d in zip(sx[:2000], sy[:2000], ex[:2000], ey[:2000]):
+        K.line_observation_sum(grid, a, b, c, d)
+    t_scalar = (time.time() - t0) * 10  # extrapolate to 20000
+    assert t_batch < t_scalar / 5, (t_batch, t_scalar)
