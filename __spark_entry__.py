@@ -212,6 +212,59 @@ def q_ann_lsh(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+# --- raster / sensor / scan pipelines (rows-only: iterative ray-walk
+# semantics are not SQL-expressible; exactness is covered by the golden
+# pytest suite against the reference kernels) --------------------------------
+
+def q_visibility_region(spark, sf_dir):
+    """All-pairs region visibility on the reg8 golden grid (O3)."""
+    import numpy as np
+    from polycheck_spark.operators.visibility import visibility_from_region_df
+    g = np.zeros((8, 8), dtype=np.float32)
+    g[3:5, 3:5] = 0.5
+    starts = spark.createDataFrame([(0, 0), (7, 0), (0, 7)], "sx int, sy int")
+    ends = spark.createDataFrame([(7, 7), (4, 4), (2, 6), (6, 2)], "ex int, ey int")
+    return (visibility_from_region_df(spark, g, starts, ends)
+            .select("sx", "sy", "ex", "ey", "vis").orderBy("sx", "sy", "ex", "ey"))
+
+
+def q_sensor_union(spark, sf_dir):
+    """Sensor union combine on the union_formula golden grid (O5+O8)."""
+    import math
+    import numpy as np
+    from polycheck_spark.operators.visibility import sensor_visibility_df
+    g = np.zeros((6, 6), dtype=np.float32)
+    g[3, 1] = 0.4
+    g[1, 3] = 0.5
+    sensors = spark.createDataFrame(
+        [(0, 0.0, 3.0, 20.0, 0.0, 2 * math.pi), (1, 3.0, 0.0, 20.0, math.pi / 2, 2 * math.pi)],
+        "sensor_id int, x double, y double, range double, direction double, fov double")
+    _, combined = sensor_visibility_df(spark, g, sensors, "union")
+    return combined.select("ex", "ey", "p").orderBy("ey", "ex")
+
+
+def q_faux_scan(spark, sf_dir):
+    """Simulated LiDAR scan against the golden triangle+square layout (O7)."""
+    import math
+    from polycheck_spark.data.polygons import GOLDEN_POLYGONS
+    from polycheck_spark.operators.scan import faux_scan_df
+    polys = [GOLDEN_POLYGONS["triangle"], GOLDEN_POLYGONS["square2"]]
+    return (faux_scan_df(spark, polys, (0.0, 0.0), 0.0, math.pi / 180.0, 360, 10.0, 0.1)
+            .select("ray_id", "range", "hit_polygon").orderBy("ray_id"))
+
+
+def q_tile_quantiles(spark, sf_dir):
+    """Top-decile dense tiles via percent_rank (window quantiles)."""
+    from pyspark.sql import Window
+    pts = _docs_points(spark, sf_dir)
+    dens = (PJ.assign_tiles(pts, res=DENSITY_RES)
+            .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.orderBy(F.col("n_docs").asc(), F.col("cell_id").asc())
+    return (dens.withColumn("pr", F.percent_rank().over(w))
+            .filter(F.col("pr") >= 0.9)
+            .select("cell_id", "n_docs", "pr").orderBy("cell_id"))
+
+
 # --- relational operator surface on the star schema -----------------------------
 
 def q_agg_lineitem(spark, sf_dir):
@@ -308,6 +361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "visibility_region": q_visibility_region,
+        "sensor_union": q_sensor_union,
+        "faux_scan": q_faux_scan,
+        "tile_quantiles": q_tile_quantiles,
         "agg_lineitem": q_agg_lineitem,
         "broadcast_join_agg": q_broadcast_join_agg,
         "window_topk": q_window_topk,
@@ -342,6 +399,12 @@ def oracle_sql() -> dict[str, str]:
             f"HAVING COUNT(*) >= 2 ORDER BY n_docs DESC, cell_id"),
         "knn": (knn_sql_oracle(pts, f"doc_id % {KNN_FILTER_MOD} = 0", KNN_K)
                 + " ORDER BY query_id, rank"),
+        "tile_quantiles": (
+            f"WITH dens AS (SELECT {C.cell_id_sql('lon', 'lat', DENSITY_RES)} AS cell_id, "
+            f"COUNT(*) AS n_docs FROM ({pts}) GROUP BY 1), "
+            f"ranked AS (SELECT cell_id, n_docs, "
+            f"PERCENT_RANK() OVER (ORDER BY n_docs ASC, cell_id ASC) AS pr FROM dens) "
+            f"SELECT cell_id, n_docs, pr FROM ranked WHERE pr >= 0.9 ORDER BY cell_id"),
         "raster_lookup": (
             raster_lookup_sql(pts, _RASTER_CTE, RASTER_ORIGIN, RASTER_RES_DEG)
             + " ORDER BY doc_id"),
