@@ -25,6 +25,10 @@ from polycheck_spark.geo import kernel_batch as KB
 
 TWO_PI = 2.0 * math.pi
 
+# refuse naive cross products beyond this many pairs (SURVEY.md §7 known-hard
+# #5): above it the caller must tile the problem instead
+MAX_CROSS_PAIRS = 200_000_000
+
 
 # ---------------------------------------------------------------------------
 # local (driver/batch) API — reference-signature parity
@@ -185,11 +189,20 @@ def sensor_visibility_df(spark, data, sensors_df: DataFrame, combine: str = "uni
     """
     data = np.clip(np.asarray(data, dtype=np.float32), 0.0, 1.0)
     h, w = data.shape
+    n_sensors = sensors_df.count()
+    if h * w * max(n_sensors, 1) > MAX_CROSS_PAIRS:
+        raise ValueError(
+            f"sensors x cells cross product ({n_sensors} x {h * w}) exceeds "
+            f"MAX_CROSS_PAIRS={MAX_CROSS_PAIRS}; partition the grid into "
+            f"tiles and run per tile (cells outside every sensor's range "
+            f"never need a walk)")
     bc = _grid_bc(spark, data)
+    # parallelism comes from the big side: cells are range-partitioned,
+    # the (tiny) sensor table is broadcast
     cells = spark.range(h * w).select(
         (F.col("id") / w).cast("int").alias("ey"),
         F.pmod(F.col("id"), F.lit(w)).cast("int").alias("ex"))
-    pairs = sensors_df.crossJoin(F.broadcast(cells))
+    pairs = cells.crossJoin(F.broadcast(sensors_df))
 
     if real:
         ox, oy, res = float(origin[0]), float(origin[1]), float(resolution)
