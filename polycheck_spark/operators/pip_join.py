@@ -168,6 +168,65 @@ def pip_join(spark, pages: DataFrame, layer: list[dict], *,
     return refined.drop("xmin", "ymin", "xmax", "ymax")
 
 
+def pip_join_df(pages: DataFrame, polygons: DataFrame, *,
+                lon_col: str = "lon", lat_col: str = "lat",
+                cover_res: int = 6, broadcast_polygons: bool = False) -> DataFrame:
+    """Fully-distributed spatial join against a polygon *DataFrame*.
+
+    For layers too large to materialize on the driver (10^5+ polygons): the
+    covering-cell expansion, the cell equi-join, the bbox refine AND the
+    vertex transport all stay distributed — no driver collection anywhere.
+
+    ``polygons``: (polygon_id LONG, xs ARRAY<FLOAT>, ys ARRAY<FLOAT>).
+    Each Arrow batch CSR-packs the distinct polygons it sees and runs the
+    exact float32 winding kernel — the per-batch analog of the reference's
+    packed-layer upload (polycheck.py:1341-1366).
+
+    Scale shape: shuffle equi-join on cell_id (AQE skew-split enabled);
+    polygon vertices ride the build side. Set ``broadcast_polygons`` when the
+    layer fits in memory to skip the shuffle entirely.
+    """
+    n = 1 << cover_res
+    polys = polygons.select(
+        "polygon_id", "xs", "ys",
+        F.array_min("xs").cast("double").alias("xmin"),
+        F.array_min("ys").cast("double").alias("ymin"),
+        F.array_max("xs").cast("double").alias("xmax"),
+        F.array_max("ys").cast("double").alias("ymax"))
+    ix0, iy0 = C.ixiy_cols(F.col("xmin"), F.col("ymin"), cover_res)
+    ix1, iy1 = C.ixiy_cols(F.col("xmax"), F.col("ymax"), cover_res)
+    cover = (polys
+             .withColumn("cix", F.explode(F.sequence(ix0, ix1)))
+             .withColumn("ciy", F.explode(F.sequence(iy0, iy1)))
+             .withColumn("cell_id", C.encode_col(F.col("cix"), F.col("ciy"), cover_res))
+             .drop("cix", "ciy"))
+    probe = pages.withColumn("cell_id",
+                             C.cell_id_col(F.col(lon_col), F.col(lat_col), cover_res))
+    build = F.broadcast(cover) if broadcast_polygons else cover
+    cand = probe.join(build, "cell_id")
+    cand = _bbox_refine(cand, lon_col, lat_col)
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series, polygon_id: pd.Series,
+            xs: pd.Series, ys: pd.Series) -> pd.Series:
+        pts = np.column_stack([lon.to_numpy(np.float64), lat.to_numpy(np.float64)])
+        pid = polygon_id.to_numpy(np.int64)
+        # CSR-pack the batch's distinct polygons once
+        uniq, inv = np.unique(pid, return_inverse=True)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv] = np.arange(len(pid))
+        from polycheck_spark.geo.kernel import pack_polygons_csr
+        ragged = [np.column_stack([np.asarray(xs.iloc[i], dtype=np.float32),
+                                   np.asarray(ys.iloc[i], dtype=np.float32)])
+                  for i in first]
+        verts, offsets = pack_polygons_csr(ragged)
+        return pd.Series(contains_csr(verts, offsets, inv, pts) > 0)
+
+    refined = cand.filter(pip(F.col(lon_col), F.col(lat_col), F.col("polygon_id"),
+                              F.col("xs"), F.col("ys")))
+    return refined.drop("xs", "ys", "xmin", "ymin", "xmax", "ymax")
+
+
 def detect_hot_cells(pages: DataFrame, res: int, *, lon_col: str = "lon",
                      lat_col: str = "lat", sample_frac: float = 0.01,
                      threshold_frac: float = 0.01, seed: int = 42) -> list[int]:

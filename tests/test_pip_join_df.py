@@ -1,0 +1,55 @@
+"""Distributed-build-side spatial join (pip_join_df) vs the broadcast path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from polycheck_spark.data import synth
+from polycheck_spark.data.polygons import default_query_layer, synthetic_layer
+from polycheck_spark.operators import pip_join as PJ
+
+
+def _layer_df(spark, layer):
+    rows = [(p["polygon_id"],
+             [float(np.float32(x)) for x, _ in p["vertices"]],
+             [float(np.float32(y)) for _, y in p["vertices"]]) for p in layer]
+    schema = T.StructType([
+        T.StructField("polygon_id", T.LongType()),
+        T.StructField("xs", T.ArrayType(T.FloatType())),
+        T.StructField("ys", T.ArrayType(T.FloatType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_pip_join_df_equals_broadcast_path(spark, broadcast):
+    pages = synth.geocoded_pages(spark, 3000, partitions=8)
+    layer = default_query_layer()
+    exp = sorted((r["url"], r["polygon_id"]) for r in
+                 PJ.pip_join(spark, pages, layer)
+                 .select("url", "polygon_id").collect())
+    got_df = PJ.pip_join_df(pages, _layer_df(spark, layer),
+                            broadcast_polygons=broadcast)
+    got = sorted((r["url"], r["polygon_id"])
+                 for r in got_df.select("url", "polygon_id").collect())
+    assert got == exp and len(got) > 0
+
+
+def test_pip_join_df_larger_layer(spark):
+    """300-polygon synthetic layer, shuffle path, vs per-point kernel oracle."""
+    from polycheck_spark.data.polygons import layer_to_csr
+    from polycheck_spark.geo.kernel import contains_csr
+    layer = synthetic_layer(num_polygons=300, seed=5, base_radius=6.0)
+    pages = synth.geocoded_pages(spark, 800)
+    got = sorted((r["url"], r["polygon_id"]) for r in
+                 PJ.pip_join_df(pages, _layer_df(spark, layer))
+                 .select("url", "polygon_id").collect())
+
+    rows = pages.select("url", "lon", "lat").collect()
+    verts, offsets, ids = layer_to_csr(layer)
+    pts = np.array([[r["lon"], r["lat"]] for r in rows])
+    exp = []
+    for pi, pid in enumerate(ids):
+        mask = contains_csr(verts, offsets, np.full(len(pts), pi), pts) > 0
+        exp.extend((rows[j]["url"], int(pid)) for j in np.flatnonzero(mask))
+    assert got == sorted(exp)
