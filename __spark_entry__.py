@@ -113,6 +113,25 @@ def q_pip_join_partitioned(spark, sf_dir):
             .orderBy("point_id", "polygon_id"))
 
 
+def q_pip_join_distributed(spark, sf_dir):
+    """pip_join_df: distributed build side (polygon DataFrame, no driver
+    materialization) — same join semantics, shuffle-join physical shape."""
+    import numpy as np
+    from pyspark.sql import types as T
+    rows = [(p["polygon_id"],
+             [float(np.float32(x)) for x, _ in p["vertices"]],
+             [float(np.float32(y)) for _, y in p["vertices"]]) for p in _LAYER]
+    schema = T.StructType([
+        T.StructField("polygon_id", T.LongType()),
+        T.StructField("xs", T.ArrayType(T.FloatType())),
+        T.StructField("ys", T.ArrayType(T.FloatType())),
+    ])
+    polys = spark.createDataFrame(rows, schema)
+    joined = PJ.pip_join_df(_docs_points(spark, sf_dir), polys)
+    return (joined.select(F.col("doc_id").alias("point_id"), "polygon_id")
+            .orderBy("point_id", "polygon_id"))
+
+
 def q_pip_counts(spark, sf_dir):
     joined = PJ.pip_join(spark, _docs_points(spark, sf_dir), _LAYER, key_col="doc_id")
     return (joined.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -344,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
         "pip_join_partitioned": q_pip_join_partitioned,
+        "pip_join_distributed": q_pip_join_distributed,
         "pip_counts": q_pip_counts,
         "pip_semi": q_pip_semi,
         "pip_anti": q_pip_anti,
@@ -385,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_join": f"SELECT point_id, polygon_id FROM ({pip}) ORDER BY 1, 2",
         "pip_join_partitioned": f"SELECT point_id, polygon_id FROM ({pip}) ORDER BY 1, 2",
+        "pip_join_distributed": f"SELECT point_id, polygon_id FROM ({pip}) ORDER BY 1, 2",
         "pip_counts": (f"SELECT polygon_id, COUNT(*) AS n_docs FROM ({pip}) "
                        f"GROUP BY 1 ORDER BY 1"),
         "pip_semi": (f"SELECT DISTINCT point_id AS doc_id FROM ({pip}) ORDER BY 1"),

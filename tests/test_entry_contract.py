@@ -26,6 +26,20 @@ def test_entry_runs(spark):
     assert set(df.columns) == {"point_id", "polygon_id", "cell_id", "lon", "lat"}
 
 
+def test_approx_count_distinct_tiles(spark, sf_dir):
+    """approx_count_distinct (HLL sketch) on the tile column: within 5% of
+    exact — the cheap cardinality pass hot-cell detection uses at scale."""
+    from polycheck_spark.data import synth
+    from polycheck_spark.operators import pip_join as PJ
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lon, lat = synth.geocode_arith_cols(F.col("doc_id"))
+    tiled = PJ.assign_tiles(docs.select("doc_id", lon.alias("lon"), lat.alias("lat")),
+                            res=8)
+    exact = tiled.select(F.countDistinct("cell_id")).collect()[0][0]
+    approx = tiled.select(F.approx_count_distinct("cell_id", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
+
+
 def test_star_grid_exact_through_spark_join(spark):
     """The reference's own golden workload (200x200 grid vs star8,
     tests/test_contains.py:70-73) through the DISTRIBUTED join path:
