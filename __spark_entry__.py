@@ -479,7 +479,11 @@ FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
         "set_ops": """
 SELECT c_custkey FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY 1""",
+        # lon/lat are bound in a subquery first: cell_id_sql repeats its
+        # argument expressions ~32x (bit-spread emit), so feed it short names
         "distinct_tiles_per_lang": (
-            f"SELECT lang, COUNT(DISTINCT {C.cell_id_sql(lon_sql, lat_sql, DENSITY_RES)}) AS n_tiles, "
-            f"COUNT(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1"),
+            f"SELECT lang, COUNT(DISTINCT {C.cell_id_sql('lon', 'lat', DENSITY_RES)}) AS n_tiles, "
+            f"COUNT(*) AS n_docs FROM "
+            f"(SELECT lang, {lon_sql} AS lon, {lat_sql} AS lat FROM documents) "
+            f"GROUP BY 1 ORDER BY 1"),
     }

@@ -27,6 +27,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _parquet_row_count(path: str) -> int:
+    """Row count from parquet footers — no data scan."""
+    import pyarrow.parquet as pq
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
+
+
 class CheckpointedWriter:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -74,7 +84,7 @@ class CheckpointedWriter:
             df = build_bucket(k)
             path = os.path.join(self.out_dir, f"bucket={k}")
             df.write.mode("overwrite").parquet(path)
-            rows = df.sparkSession.read.parquet(path).count()
+            rows = _parquet_row_count(path)  # footer metadata only, no rescan
             if fail_on is not None and fail_on(k):
                 raise RuntimeError(f"injected failure before committing bucket {k}")
             self._write_marker(k, {

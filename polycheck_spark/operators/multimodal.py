@@ -37,13 +37,17 @@ _MAGIC = [
 
 def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """Typed metadata for a binary column — pure Column exprs (no UDF):
-    byte length, sha256 digest, magic-byte sniffed type."""
+    byte length, sha256 digest, magic-byte sniffed type.
+
+    Sniffing compares HEX of the byte prefix (never decodes): arbitrary
+    binary (PNG/JPEG/...) must not hit a UTF-8 decoder, which throws under
+    ANSI mode on malformed sequences."""
     p = F.col(payload_col)
-    sniff = F.lower(F.decode(F.substring(p, 1, 4), "utf-8"))
+    sniff = F.lower(F.hex(F.substring(p, 1, 4)))
     mt = F.lit("application/octet-stream")
     for magic, label in reversed(_MAGIC):
-        probe = magic.decode("latin1").lower()
-        mt = F.when(sniff.startswith(probe[: len(probe)]), F.lit(label)).otherwise(mt)
+        probe = magic.hex().lower()
+        mt = F.when(sniff.startswith(probe), F.lit(label)).otherwise(mt)
     return df.withColumn("media_bytes", F.length(p)) \
              .withColumn("media_sha", F.sha2(p, 256)) \
              .withColumn("media_type", mt)

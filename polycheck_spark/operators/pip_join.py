@@ -134,6 +134,8 @@ def pip_join(spark, pages: DataFrame, layer: list[dict], *,
     """
     res = cover_res if cover_res is not None else choose_cover_res(layer)
     probe = pages.withColumn("cell_id", C.cell_id_col(F.col(lon_col), F.col(lat_col), res))
+    if not layer:  # empty layer -> empty join result with the full schema
+        return probe.withColumn("polygon_id", F.lit(0).cast("long")).filter(F.lit(False))
 
     if mode == "broadcast":
         build = _build_side_df(spark, layer, res)

@@ -135,10 +135,12 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ``sum_i((i + 1) * tok_int(t_i)) % MOD`` — position-weighted token hash."""
     toks = tokens_col(F.col(text_col))
     exploded = docs.select(F.col(id_col), F.posexplode_outer(toks).alias("pos", "tok"))
+    # each term is reduced mod MOD before summing: terms stay < MOD (~2^30),
+    # so the int64 sum cannot overflow below ~8e9 tokens per document
+    term = F.pmod((F.col("pos") + 1) * F.pmod(_tok_int(F.col("tok")), F.lit(MOD)),
+                  F.lit(MOD))
     return (exploded.groupBy(id_col)
-            .agg(F.pmod(F.sum(F.when(F.col("tok").isNotNull(),
-                                     (F.col("pos") + 1) * _tok_int(F.col("tok")))
-                              .otherwise(0)),
+            .agg(F.pmod(F.sum(F.when(F.col("tok").isNotNull(), term).otherwise(0)),
                         F.lit(MOD)).alias("fingerprint")))
 
 
@@ -153,7 +155,8 @@ pos AS (
 SELECT t.{id_col}, coalesce(s.fp, 0) AS fingerprint
 FROM toks t
 LEFT JOIN (
-  SELECT {id_col}, CAST(SUM((pos + 1) * {_tok_int_sql('tok')}) % {MOD} AS BIGINT) AS fp
+  SELECT {id_col},
+         CAST(SUM(((pos + 1) * ({_tok_int_sql('tok')} % {MOD})) % {MOD}) % {MOD} AS BIGINT) AS fp
   FROM pos GROUP BY {id_col}
 ) s USING ({id_col})
 """

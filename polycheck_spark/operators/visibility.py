@@ -170,11 +170,25 @@ def visibility_from_region_df(spark, data, starts_df: DataFrame, ends_df: DataFr
                 grid, sx.to_numpy(np.int64), sy.to_numpy(np.int64),
                 ex.to_numpy(np.int64), ey.to_numpy(np.int64), int(mr)))
 
-    vis = walk(F.col("sx"), F.col("sy"), F.col("ex"), F.col("ey"))
     if mr > 0:
-        # lift the reference's in-kernel range rejection to a Catalyst filter
-        dist = F.sqrt((F.col("ex") - F.col("sx")) ** 2 + (F.col("ey") - F.col("sy")) ** 2)
-        vis = F.when(dist <= mr, vis).otherwise(F.lit(0.0))
+        # Conservative Catalyst prefilter: rays the kernel would certainly
+        # zero skip the walk entirely.  Grid kernel counts Bresenham STEPS
+        # (>= Chebyshev-1), real kernel compares float32 Euclid to max_range
+        # — both gates below are strict supersets of the kernel's own test,
+        # and pruned rows get the exact value (0) the kernel returns.
+        if real:
+            certainly_out = F.sqrt((F.col("ex") - F.col("sx")) ** 2
+                                   + (F.col("ey") - F.col("sy")) ** 2) \
+                > F.lit(mr * (1.0 + 1e-5) + 1e-3)
+        else:
+            cheb = F.greatest(F.abs(F.col("ex") - F.col("sx")),
+                              F.abs(F.col("ey") - F.col("sy")))
+            certainly_out = cheb > F.lit(int(mr) + 1)
+        walk_rows = pairs.filter(~certainly_out).withColumn(
+            "vis", walk(F.col("sx"), F.col("sy"), F.col("ex"), F.col("ey")).cast("float"))
+        pruned = pairs.filter(certainly_out).withColumn("vis", F.lit(0.0).cast("float"))
+        return walk_rows.union(pruned)
+    vis = walk(F.col("sx"), F.col("sy"), F.col("ex"), F.col("ey"))
     return pairs.withColumn("vis", vis.cast("float"))
 
 

@@ -4,10 +4,12 @@ The reference has no streaming semantics (SURVEY.md §2: no watermarks,
 windows, or state), so this module is the engine-level incremental path:
 
 * :func:`stream_pip_join` — ``readStream`` over a pages directory ->
-  ``foreachBatch`` reusing the *identical* batch ``pip_join`` -> append sink.
-  foreachBatch is the right shape here: the join's build side is broadcast
-  and stateless, so each micro-batch is exactly the batch operator, and the
-  sink commits via the streaming checkpoint (exactly-once per batch id).
+  ``foreachBatch`` reusing the *identical* batch ``pip_join``.  foreachBatch
+  is the right shape here: the join's build side is broadcast and stateless,
+  so each micro-batch is exactly the batch operator.  foreachBatch itself is
+  at-least-once, so the sink write is made idempotent (each batch overwrites
+  its own ``batch_id=N`` directory) — replayed batches converge instead of
+  duplicating.
 * :func:`stream_tile_counts` — event-time windowed aggregation: pages per
   (time window, coarse tile) with a watermark bounding late-data state.
 
@@ -54,9 +56,12 @@ def stream_pip_join(spark: SparkSession, source_dir: str, layer: list[dict],
         lon, lat = geocode_url_cols(F.col("url"))
         pts = batch_df.withColumn("lon", lon).withColumn("lat", lat)
         joined = PJ.pip_join(spark, pts, layer)
+        # idempotent per-batch write: a micro-batch retried after a partial
+        # write overwrites its own batch_id directory, so replays cannot
+        # duplicate rows (foreachBatch alone is only at-least-once)
         (joined.select("url", "polygon_id", "cell_id", "lon", "lat",
                        F.sha2(F.col("text"), 256).alias("text_sha"))
-         .write.mode("append").parquet(out_dir))
+         .write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}"))
 
     writer = (stream.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))

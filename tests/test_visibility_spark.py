@@ -52,6 +52,22 @@ def test_region_visibility_matches_local(spark):
                 local[si * len(ends) + ei], abs=1e-7)
 
 
+def test_region_visibility_max_range_step_metric(spark):
+    """max_range counts Bresenham STEPS, not Euclidean distance: the diagonal
+    (0,0)->(4,4) takes 4 steps, so mr=5 must leave it visible (regression for
+    a Column gate that wrongly used Euclid ~5.66)."""
+    g = np.zeros((10, 10), dtype=np.float32)
+    starts = spark.createDataFrame([(0, 0)], "sx int, sy int")
+    ends = spark.createDataFrame([(4, 4), (9, 9), (0, 7)], "ex int, ey int")
+    got = {(r["ex"], r["ey"]): r["vis"]
+           for r in V.visibility_from_region_df(spark, g, starts, ends, max_range=5).collect()}
+    for (ex, ey), v in got.items():
+        assert v == pytest.approx(K.line_observation(g, 0, 0, ex, ey, 5), abs=1e-7), (ex, ey)
+    assert got[(4, 4)] == 1.0   # 4 steps <= 5
+    assert got[(9, 9)] == 0.0   # 9 steps > 5
+    assert got[(0, 7)] == 0.0   # 7 steps > 5
+
+
 def test_real_region_visibility_matches_local(spark):
     """real6 fixture: 6x6, [2:4,2:4]=0.7, origin (0,0), res 1.0."""
     g = np.zeros((6, 6), dtype=np.float32)
