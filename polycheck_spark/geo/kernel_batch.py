@@ -128,6 +128,205 @@ def line_observation_sum_batch(data: np.ndarray, sx, sy, ex, ey) -> np.ndarray:
     return out
 
 
+_F32_MAX = np.float32(np.finfo(np.float32).max)
+
+
+def _dda_state(src_x, src_y, end_x, end_y, origin_x, origin_y, resolution,
+               max_range, height, width, check_end_cell: bool):
+    """Vectorized Amanatides-Woo setup, float32-exact to kernel._dda_setup.
+
+    Returns (out, done, state...) where ``done`` rays already have their final
+    value in ``out`` (range-reject, zero-magnitude, out-of-grid starts/ends,
+    same-cell) and the rest carry live traversal state.
+    """
+    f = np.float32
+    src_x = np.asarray(src_x, f)
+    src_y = np.asarray(src_y, f)
+    end_x = np.asarray(end_x, f)
+    end_y = np.asarray(end_y, f)
+    res = f(resolution)
+    ox, oy = f(origin_x), f(origin_y)
+    n = len(src_x)
+    out = np.zeros(n, dtype=f)
+    done = np.zeros(n, dtype=bool)
+
+    dx = (end_x - src_x).astype(f)
+    dy = (end_y - src_y).astype(f)
+    magnitude = np.sqrt((dx * dx + dy * dy).astype(f)).astype(f)
+    mr = np.broadcast_to(np.asarray(max_range, np.float64), (n,))
+    rej = (mr > 0.0) & (magnitude > mr.astype(f))
+    done |= rej  # out stays 0
+    zero_mag = (~done) & (np.abs(magnitude) <= FLT_EPSILON)
+    if zero_mag.any():
+        scx = np.floor(((src_x - ox) / res).astype(f)).astype(np.int64)
+        scy = np.floor(((src_y - oy) / res).astype(f)).astype(np.int64)
+        inside = (scx >= 0) & (scx < width) & (scy >= 0) & (scy < height)
+        out[zero_mag & inside] = 1.0
+        done |= zero_mag
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ndx = (dx / magnitude).astype(f)
+        ndy = (dy / magnitude).astype(f)
+    rx = ((src_x - ox) / res).astype(f)
+    ry = ((src_y - oy) / res).astype(f)
+    sx = np.floor(rx).astype(np.int64)
+    sy = np.floor(ry).astype(np.int64)
+    oob = (sx < 0) | (sx >= width) | (sy < 0) | (sy >= height)
+    done |= (~done) & oob
+
+    ex = np.floor(((end_x - ox) / res).astype(f)).astype(np.int64)
+    ey = np.floor(((end_y - oy) / res).astype(f)).astype(np.int64)
+    if check_end_cell:
+        eoob = (ex < 0) | (ex >= width) | (ey < 0) | (ey >= height)
+        done |= (~done) & eoob
+    same = (~done) & (sx == ex) & (sy == ey)
+    out[same] = 1.0
+    done |= same
+
+    def axis(d, rc):
+        zero = np.abs(d) <= FLT_EPSILON
+        pos = d > 0
+        step = np.where(zero, 0, np.where(pos, 1, -1)).astype(np.int64)
+        frac_pos = ((np.floor(rc).astype(f) + f(1.0) - rc).astype(f) * res).astype(f)
+        frac_neg = ((rc - np.floor(rc).astype(f)).astype(f) * res).astype(f)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_max = np.where(zero, _F32_MAX,
+                             np.where(pos, (frac_pos / d).astype(f),
+                                      (frac_neg / (-d).astype(f)).astype(f))).astype(f)
+            t_delta = np.where(zero, _F32_MAX,
+                               np.where(pos, (res / d).astype(f),
+                                        (res / (-d).astype(f)).astype(f))).astype(f)
+        return step, t_max, t_delta
+
+    step_x, t_max_x, t_delta_x = axis(ndx, rx)
+    step_y, t_max_y, t_delta_y = axis(ndy, ry)
+    return (out, done, sx, sy, ex, ey, magnitude,
+            step_x, t_max_x, t_delta_x, step_y, t_max_y, t_delta_y)
+
+
+def _dda_walk(data, state, mode: str):
+    """Shared lockstep DDA loop; mode 'product' (float32 transmittance) or
+    'sum' (float32 blocking sum, early-out at >= 1)."""
+    f = np.float32
+    height, width = data.shape
+    flat = np.asarray(data, f).ravel()
+    (out, done, sx, sy, ex, ey, mag,
+     stx, tmx, tdx, sty, tmy, tdy) = state
+    idx = np.flatnonzero(~done)
+    sx, sy = sx[idx].copy(), sy[idx].copy()
+    ex, ey = ex[idx], ey[idx]
+    mag = mag[idx]
+    stx, sty = stx[idx], sty[idx]
+    tmx, tmy = tmx[idx].copy(), tmy[idx].copy()
+    tdx, tdy = tdx[idx], tdy[idx]
+    acc = np.ones(len(idx), f) if mode == "product" else np.zeros(len(idx), f)
+
+    def finish(mask, values):
+        nonlocal idx, sx, sy, ex, ey, mag, stx, sty, tmx, tmy, tdx, tdy, acc
+        out[idx[mask]] = values
+        keep = ~mask
+        idx = idx[keep]
+        sx, sy, ex, ey = sx[keep], sy[keep], ex[keep], ey[keep]
+        mag = mag[keep]
+        stx, sty = stx[keep], sty[keep]
+        tmx, tmy = tmx[keep], tmy[keep]
+        tdx, tdy = tdx[keep], tdy[keep]
+        acc = acc[keep]
+
+    while len(idx):
+        over = np.minimum(tmx, tmy) > mag
+        if over.any():
+            vals = acc[over] if mode == "product" else \
+                np.minimum(f(1.0), np.maximum(f(0.0), f(1.0) - acc[over]))
+            finish(over, vals)
+            if not len(idx):
+                break
+        move_x = tmx < tmy
+        sx[move_x] += stx[move_x]
+        tmx[move_x] = (tmx[move_x] + tdx[move_x]).astype(f)
+        my = ~move_x
+        sy[my] += sty[my]
+        tmy[my] = (tmy[my] + tdy[my]).astype(f)
+
+        arr = (sx == ex) & (sy == ey)
+        if arr.any():
+            vals = acc[arr] if mode == "product" else \
+                np.minimum(f(1.0), np.maximum(f(0.0), f(1.0) - acc[arr]))
+            finish(arr, vals)
+            if not len(idx):
+                break
+        oob = (sx < 0) | (sx >= width) | (sy < 0) | (sy >= height)
+        if oob.any():
+            finish(oob, f(0.0))
+            if not len(idx):
+                break
+        if mode == "product":
+            acc = (acc * (f(1.0) - flat[sy * width + sx])).astype(f)
+            dead = np.abs(acc) <= FLT_EPSILON
+        else:
+            acc = (acc + flat[sy * width + sx]).astype(f)
+            dead = acc >= f(1.0)
+        if dead.any():
+            finish(dead, f(0.0))
+    return out
+
+
+def line_real_observation_batch(data, origin_x, origin_y, resolution,
+                                src_x, src_y, end_x, end_y, max_range=0.0) -> np.ndarray:
+    """Vectorized twin of kernel.line_real_observation (DDA transmittance)."""
+    h, w = np.asarray(data).shape
+    state = _dda_state(src_x, src_y, end_x, end_y, origin_x, origin_y,
+                       resolution, max_range, h, w, check_end_cell=False)
+    return _dda_walk(data, state, "product")
+
+
+def line_real_observation_sum_batch(data, origin_x, origin_y, resolution,
+                                    src_x, src_y, end_x, end_y, max_range=0.0) -> np.ndarray:
+    """Vectorized twin of kernel.line_real_observation_sum (DDA sum-blocking)."""
+    h, w = np.asarray(data).shape
+    state = _dda_state(src_x, src_y, end_x, end_y, origin_x, origin_y,
+                       resolution, max_range, h, w, check_end_cell=True)
+    return _dda_walk(data, state, "sum")
+
+
+def sensor_cell_observation_real_batch(data, x, y, rng, drn, fov, ex, ey,
+                                       origin, resolution) -> np.ndarray:
+    """Vectorized per-(sensor, cell) clear probability, real regime — batch
+    twin of kernel.sensor_cell_observation with origin/resolution set."""
+    f = np.float32
+    height, width = np.asarray(data).shape
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    rng = np.asarray(rng, np.float64)
+    ex = np.asarray(ex, np.int64)
+    ey = np.asarray(ey, np.int64)
+    ox, oy = float(origin[0]), float(origin[1])
+    res = float(resolution)
+    out = np.zeros(len(x), dtype=f)
+
+    # target = cell center, float64 like the scalar twin (consumers cast f32)
+    tx = ox + (ex + 0.5) * res
+    ty = oy + (ey + 0.5) * res
+    scx = np.floor((x - ox) / res).astype(np.int64)
+    scy = np.floor((y - oy) / res).astype(np.int64)
+
+    zero_range = rng <= 0.0
+    own = (ex == scx) & (ey == scy)
+    out[zero_range & own] = 1.0
+
+    live = ~zero_range
+    gate = np.zeros(len(x), dtype=bool)
+    if live.any():
+        gate[live] = in_sensor_fov_batch(
+            x[live], y[live], tx[live], ty[live], rng[live],
+            np.asarray(drn)[live], np.asarray(fov)[live])
+    walk = live & gate
+    if walk.any():
+        out[walk] = line_real_observation_sum_batch(
+            data, ox, oy, res, x[walk], y[walk], tx[walk], ty[walk], rng[walk])
+    return out
+
+
 def in_sensor_fov_batch(sx, sy, tx, ty, rng, drn, fov) -> np.ndarray:
     """Vectorized twin of kernel.in_sensor_fov (polycheck.py:157-179).
 

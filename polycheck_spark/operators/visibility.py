@@ -158,10 +158,9 @@ def visibility_from_region_df(spark, data, starts_df: DataFrame, ends_df: DataFr
         @F.pandas_udf(T.FloatType())
         def walk(sx: pd.Series, sy: pd.Series, ex: pd.Series, ey: pd.Series) -> pd.Series:
             grid = bc.value
-            return pd.Series([
-                K.line_real_observation(grid, h, w, ox, oy, res,
-                                        float(a), float(b), float(c), float(d), mr)
-                for a, b, c, d in zip(sx, sy, ex, ey)], dtype=np.float32)
+            return pd.Series(KB.line_real_observation_batch(
+                grid, ox, oy, res, sx.to_numpy(np.float64), sy.to_numpy(np.float64),
+                ex.to_numpy(np.float64), ey.to_numpy(np.float64), mr))
     else:
         @F.pandas_udf(T.FloatType())
         def walk(sx: pd.Series, sy: pd.Series, ex: pd.Series, ey: pd.Series) -> pd.Series:
@@ -264,11 +263,11 @@ def sensor_visibility_df(spark, data, sensors_df: DataFrame, combine: str = "uni
         def pair_obs(x: pd.Series, y: pd.Series, rng: pd.Series, drn: pd.Series,
                      fov: pd.Series, exs: pd.Series, eys: pd.Series) -> pd.Series:
             grid = bc.value
-            return pd.Series([
-                K.sensor_cell_observation(grid, (a, b, r, d, f), int(cx), int(cy),
-                                          origin=origin_t, resolution=res_t)
-                for a, b, r, d, f, cx, cy in zip(x, y, rng, drn, fov, exs, eys)],
-                dtype=np.float32)
+            return pd.Series(KB.sensor_cell_observation_real_batch(
+                grid, x.to_numpy(np.float64), y.to_numpy(np.float64),
+                rng.to_numpy(np.float64), drn.to_numpy(np.float64),
+                fov.to_numpy(np.float64), exs.to_numpy(np.int64),
+                eys.to_numpy(np.int64), origin_t, res_t))
         udf_inputs = [F.col("x"), F.col("y")]
     else:
         # grid regime: lockstep-vectorized gate + sum walk over the whole batch

@@ -72,6 +72,57 @@ def test_sensor_grid_batch_equals_scalar():
     assert np.array_equal(got, exp)
 
 
+def test_real_dda_batch_equals_scalar():
+    rng = np.random.RandomState(11)
+    h, w = 14, 17
+    grid = np.zeros((h, w), dtype=np.float32)
+    m = rng.rand(h, w) < 0.2
+    grid[m] = rng.rand(m.sum()).astype(np.float32)
+    n = 500
+    # real coords spanning inside and outside the grid, fractional positions
+    sx = rng.uniform(-2, w + 2, n)
+    sy = rng.uniform(-2, h + 2, n)
+    ex = rng.uniform(-2, w + 2, n)
+    ey = rng.uniform(-2, h + 2, n)
+    ox, oy, res = -0.5, 0.25, 0.8
+    for mr in (0.0, 6.0):
+        got_p = KB.line_real_observation_batch(grid, ox, oy, res, sx, sy, ex, ey, mr)
+        exp_p = np.array([K.line_real_observation(grid, h, w, ox, oy, res,
+                                                  a, b, c, d, mr)
+                          for a, b, c, d in zip(sx, sy, ex, ey)], dtype=np.float32)
+        assert np.array_equal(got_p, exp_p), ("product", mr)
+        got_s = KB.line_real_observation_sum_batch(grid, ox, oy, res, sx, sy, ex, ey, mr)
+        exp_s = np.array([K.line_real_observation_sum(grid, h, w, ox, oy, res,
+                                                      a, b, c, d, mr)
+                          for a, b, c, d in zip(sx, sy, ex, ey)], dtype=np.float32)
+        assert np.array_equal(got_s, exp_s), ("sum", mr)
+
+
+def test_sensor_real_batch_equals_scalar():
+    import math
+    rng = np.random.RandomState(13)
+    h, w = 10, 12
+    grid = np.zeros((h, w), dtype=np.float32)
+    m = rng.rand(h, w) < 0.25
+    grid[m] = rng.rand(m.sum()).astype(np.float32)
+    n = 500
+    x = rng.uniform(0, w, n)
+    y = rng.uniform(0, h, n)
+    ranges = rng.choice([0.0, 2.0, 5.5, 30.0], n)
+    drn = rng.uniform(-math.pi, math.pi, n)
+    fov = rng.choice([math.pi / 3, math.pi, 2 * math.pi], n)
+    ex = rng.randint(0, w, n)
+    ey = rng.randint(0, h, n)
+    got = KB.sensor_cell_observation_real_batch(grid, x, y, ranges, drn, fov,
+                                                ex, ey, (0.0, 0.0), 1.0)
+    exp = np.array([
+        K.sensor_cell_observation(grid, (a, b, r, d, f2), int(cx), int(cy),
+                                  origin=(0.0, 0.0), resolution=1.0)
+        for a, b, r, d, f2, cx, cy in zip(x, y, ranges, drn, fov, ex, ey)],
+        dtype=np.float32)
+    assert np.array_equal(got, exp)
+
+
 def test_batch_throughput_sane():
     """The batch walk should be >=10x the scalar loop on a big batch."""
     import time
