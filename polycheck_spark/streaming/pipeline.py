@@ -70,6 +70,70 @@ def stream_pip_join(spark: SparkSession, source_dir: str, layer: list[dict],
     return writer.start()
 
 
+DEDUP_OUT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("text_md5", T.StringType()),
+])
+_DEDUP_STATE_SCHEMA = T.StructType([
+    T.StructField("seen", T.ArrayType(T.StringType())),
+])
+
+
+def stream_dedup_exact(spark: SparkSession, source_dir: str, *,
+                       out_dir: str, checkpoint_dir: str,
+                       n_shards: int = 64, available_now: bool = True,
+                       max_files_per_trigger: int | None = 1):
+    """Cross-batch exact dedup: custom stateful operator via
+    ``applyInPandasWithState``.
+
+    Texts are sharded by an md5 prefix; each shard's state holds the set of
+    digests already emitted, so a page whose text appeared in ANY earlier
+    micro-batch is dropped. Within a batch the (md5, url)-smallest row wins —
+    output is deterministic for a fixed file order.
+
+    State note for 10^12-document scale: per-shard digest sets grow with the
+    distinct-text count; production would bound them (digest truncation +
+    bloom filter, or state TTL via GroupStateTimeout) — the operator shape
+    (keyed state, exactly-once emission per digest) stays the same.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = read_pages_stream(spark, source_dir, max_files_per_trigger)
+    keyed = (stream
+             .withColumn("text_md5", F.md5(F.col("text")))
+             .withColumn("shard",
+                         F.pmod(F.conv(F.substring("text_md5", 1, 4), 16, 10)
+                                .cast("long"), F.lit(n_shards)))
+             .select("shard", "url", "text_md5"))
+
+    def dedup(key, pdfs, state):
+        import pandas as pd
+        seen = set(state.get[0]) if state.exists else set()
+        out_urls, out_md5 = [], []
+        for pdf in pdfs:
+            for md5, url in sorted(zip(pdf["text_md5"], pdf["url"])):
+                if md5 not in seen:
+                    seen.add(md5)
+                    out_urls.append(url)
+                    out_md5.append(md5)
+        state.update((list(seen),))
+        yield pd.DataFrame({"url": out_urls, "text_md5": out_md5})
+
+    deduped = keyed.groupBy("shard").applyInPandasWithState(
+        dedup, DEDUP_OUT_SCHEMA, _DEDUP_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    writer = (deduped.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_tile_counts(spark: SparkSession, source_dir: str, *,
                        res: int = 4, window: str = "1 hour",
                        watermark: str = "2 hours",

@@ -52,6 +52,36 @@ def test_stream_resume_processes_only_new_files(spark, source_dir, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """Stateful streaming dedup: a text seen in an earlier micro-batch is
+    dropped in later ones; exactly one representative per distinct text."""
+    import time as _time
+    src = str(tmp_path / "dup_src")
+    base = synth.generate_pages(spark, 400)
+    # file 1: originals; file 2: the SAME texts under different urls + fresh ones
+    base.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    dup = base.limit(150).withColumn("url", F.concat(F.col("url"), F.lit("?dup=1")))
+    fresh = synth.generate_pages(spark, 500).filter(F.xxhash64("url") % 5 == 0) \
+        .withColumn("text", F.concat(F.lit("fresh "), F.col("text")))
+    dup.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    SP.stream_dedup_exact(spark, src, out_dir=out, checkpoint_dir=ckpt) \
+        .awaitTermination(300)
+
+    got = spark.read.parquet(out).select("url", "text_md5").collect()
+    md5s = [r["text_md5"] for r in got]
+    assert len(md5s) == len(set(md5s)), "a digest was emitted twice"
+    n_distinct = (spark.read.parquet(src)
+                  .select(F.md5("text")).distinct().count())
+    assert len(md5s) == n_distinct
+    # duplicated texts keep their batch-1 representative (no '?dup=1' url
+    # may appear: its text was already seen in the earlier file)
+    assert not any(r["url"].endswith("?dup=1") for r in got)
+
+
 def test_stream_tile_counts_watermark_semantics(spark, tmp_path):
     """With time-ordered input files nothing arrives late, so every window the
     watermark released must match the batch count exactly; windows newer than
