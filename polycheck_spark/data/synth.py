@@ -68,9 +68,13 @@ def geocode_url_cols(url_col):
     hot_idx = F.pmod(hm * F.lit(97) + F.lit(13), F.lit(len(HOT_CENTERS)))
     hot_lon = F.element_at(F.array(*[F.lit(c[0]) for c in HOT_CENTERS]), (hot_idx + 1).cast("int"))
     hot_lat = F.element_at(F.array(*[F.lit(c[1]) for c in HOT_CENTERS]), (hot_idx + 1).cast("int"))
-    # hot pages scatter +-0.005 deg around the hot center (all in one fine cell)
-    lon = F.when(is_hot, hot_lon + (u1 - F.lit(0.5)) * F.lit(0.01)).otherwise(lon_uniform)
-    lat = F.when(is_hot, hot_lat + (u2 - F.lit(0.5)) * F.lit(0.01)).otherwise(lat_uniform)
+    # hot pages scatter +-0.005 deg around the hot center (all in one fine cell).
+    # coalesce makes the output provably NON-NULLABLE: otherwise every join on
+    # a derived key pushes an isnotnull(<whole geocode+morton tree>) filter
+    # below the projections and re-evaluates the blown-up expression per row
+    # (measured 15x the map-stage CPU).
+    lon = F.coalesce(F.when(is_hot, hot_lon + (u1 - F.lit(0.5)) * F.lit(0.01)).otherwise(lon_uniform), F.lit(0.0))
+    lat = F.coalesce(F.when(is_hot, hot_lat + (u2 - F.lit(0.5)) * F.lit(0.01)).otherwise(lat_uniform), F.lit(0.0))
     return lon, lat
 
 
@@ -99,8 +103,9 @@ def geocode_arith_cols(id_col):
     hot_idx = F.pmod(i, F.lit(len(HOT_CENTERS)))
     hot_lon = F.element_at(F.array(*[F.lit(c[0]) for c in HOT_CENTERS]), (hot_idx + 1).cast("int"))
     hot_lat = F.element_at(F.array(*[F.lit(c[1]) for c in HOT_CENTERS]), (hot_idx + 1).cast("int"))
-    lon = F.when(is_hot, hot_lon + (u1 - F.lit(0.5)) * F.lit(0.01)).otherwise(lon_u)
-    lat = F.when(is_hot, hot_lat + (u2 - F.lit(0.5)) * F.lit(0.01)).otherwise(lat_u)
+    # coalesce for non-nullability (see geocode_url_cols); value unchanged
+    lon = F.coalesce(F.when(is_hot, hot_lon + (u1 - F.lit(0.5)) * F.lit(0.01)).otherwise(lon_u), F.lit(0.0))
+    lat = F.coalesce(F.when(is_hot, hot_lat + (u2 - F.lit(0.5)) * F.lit(0.01)).otherwise(lat_u), F.lit(0.0))
     return lon, lat
 
 

@@ -196,9 +196,38 @@ def encode_col(ix_col, iy_col, res: int):
 
 
 def cell_id_col(lon_col, lat_col, res: int):
-    """Spark Column computing the same cell_id as :func:`cell_id`."""
+    """Spark Column computing the same cell_id as :func:`cell_id`.
+
+    WARNING: as a single Column the bit-spread tree duplicates its input 2x
+    per level (32x total). Codegen handles it alone, but combined with other
+    expressions in one stage it can exceed the generated-method size limit
+    and silently fall back to interpreted eval (~30x slower). Prefer
+    :func:`with_cell_id` in pipelines — it stages the levels as separate
+    projections, each computed once.
+    """
     ix, iy = ixiy_cols(lon_col, lat_col, res)
     return encode_col(ix, iy, res)
+
+
+def with_cell_id(df, lon_col, lat_col, res: int, out: str = "cell_id"):
+    """Add ``out`` = cell_id(lon, lat, res) via staged projections.
+
+    Each Morton spread level lands in its own column, so Catalyst keeps the
+    levels as separate Projects (CollapseProject refuses to duplicate
+    non-trivial exprs referenced twice) and whole-stage codegen evaluates
+    every level exactly once — linear code size instead of 2^levels.
+    """
+    from pyspark.sql import functions as F
+    ix, iy = ixiy_cols(lon_col, lat_col, res)
+    cx, cy = f"__{out}_x", f"__{out}_y"
+    df = df.withColumn(cx, ix).withColumn(cy, iy)
+    for shift, mask in _SPREAD_MASKS:
+        df = df.withColumn(
+            cx, (F.col(cx).bitwiseOR(F.shiftleft(F.col(cx), shift))).bitwiseAND(F.lit(mask)))
+        df = df.withColumn(
+            cy, (F.col(cy).bitwiseOR(F.shiftleft(F.col(cy), shift))).bitwiseAND(F.lit(mask)))
+    morton = F.col(cx).bitwiseOR(F.shiftleft(F.col(cy), 1))
+    return df.withColumn(out, F.lit(res << RES_SHIFT).bitwiseOR(morton)).drop(cx, cy)
 
 
 # ---------------------------------------------------------------------------

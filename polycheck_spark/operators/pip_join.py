@@ -154,9 +154,14 @@ def pip_join(spark, pages: DataFrame, layer: list[dict], *,
                      .join(bboxes, "polygon_id")
         if hot:
             hot_arr = F.array(*[F.lit(h) for h in sorted(hot)])
-            salt = F.when(F.array_contains(hot_arr, F.col("cell_id")),
-                          F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salt)).cast("int")
-                          ).otherwise(F.lit(0))
+            # coalesce: keep the join key provably non-nullable, else Catalyst
+            # pushes an isnotnull(<entire salt+cell tree>) filter below the
+            # projections and re-evaluates the whole expression per row
+            salt = F.coalesce(
+                F.when(F.array_contains(hot_arr, F.col("cell_id")),
+                       F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salt)).cast("int"))
+                 .otherwise(F.lit(0)),
+                F.lit(0))
         else:
             salt = F.lit(0)
         probe = probe.withColumn("salt", salt)
