@@ -63,18 +63,22 @@ def auto_res(n_targets: int, k: int) -> int:
 
 
 def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
-             res: int | None = None, initial_ring: int = 2, max_rounds: int = 4,
+             res: int | None = None, n_targets: int | None = None,
+             initial_ring: int = 2, max_rounds: int = 4,
              query_id: str = "query_id", target_id: str = "target_id",
              qlon: str = "lon", qlat: str = "lat",
              tlon: str = "lon", tlat: str = "lat") -> DataFrame:
     """Returns (query_id, target_id, dist2, rank) with rank in [1, k].
 
-    ``res`` picks candidate-cell granularity (None = derive from target
-    count). Escalation makes any res correct; res only affects cost.
+    ``res`` picks candidate-cell granularity. ``res=None`` derives it from
+    the target cardinality: pass ``n_targets`` (a known/estimated count —
+    e.g. from table stats or a snapshot manifest) to avoid the extra
+    ``targets.count()`` scan that is otherwise run. Escalation makes any res
+    correct; res only affects cost.
     """
     spark = queries.sparkSession
     if res is None:
-        res = auto_res(targets.count(), k)
+        res = auto_res(n_targets if n_targets is not None else targets.count(), k)
     q0 = queries.select(F.col(query_id).alias("query_id"),
                         F.col(qlon).alias("qlon"), F.col(qlat).alias("qlat"))
     qix, qiy = C.ixiy_cols(F.col("qlon"), F.col("qlat"), res)
@@ -82,8 +86,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
 
     t0 = targets.select(F.col(target_id).alias("target_id"),
                         F.col(tlon).alias("tlon"), F.col(tlat).alias("tlat"))
-    t_indexed = t0.withColumn("cell_id",
-                              C.cell_id_col(F.col("tlon"), F.col("tlat"), res)).cache()
+    t_indexed = C.with_cell_id(t0, F.col("tlon"), F.col("tlat"), res).cache()
 
     cell_extent = min(360.0, 180.0) / (1 << res)  # min per-axis cell size, degrees
     remaining = q0

@@ -43,7 +43,7 @@ DEFAULT_N_SALT = 8
 def assign_tiles(pages: DataFrame, res: int = DEFAULT_TILE_RES,
                  lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """Add the Z-order ``cell_id`` tile column (JVM expression, no UDF)."""
-    return pages.withColumn("cell_id", C.cell_id_col(F.col(lon_col), F.col(lat_col), res))
+    return C.with_cell_id(pages, F.col(lon_col), F.col(lat_col), res)
 
 
 def choose_cover_res(layer: list[dict], max_cells: int = MAX_COVER_CELLS) -> int:
@@ -133,25 +133,24 @@ def pip_join(spark, pages: DataFrame, layer: list[dict], *,
     with optional deterministic salting of ``hot_cells``.
     """
     res = cover_res if cover_res is not None else choose_cover_res(layer)
-    probe = pages.withColumn("cell_id", C.cell_id_col(F.col(lon_col), F.col(lat_col), res))
+    probe = C.with_cell_id(pages, F.col(lon_col), F.col(lat_col), res)
     if not layer:  # empty layer -> empty join result with the full schema
         return probe.withColumn("polygon_id", F.lit(0).cast("long")).filter(F.lit(False))
 
+    base_build = _build_side_df(spark, layer, res)  # ONE construction path
     if mode == "broadcast":
-        build = _build_side_df(spark, layer, res)
-        cand = probe.join(F.broadcast(build), "cell_id")
+        cand = probe.join(F.broadcast(base_build), "cell_id")
     elif mode == "partitioned":
         hot = set(hot_cells or [])
-        cover = polygon_cover_rows(layer, res)
-        bboxes = _bbox_df(spark, layer)
-        build_rows = []
-        for cid, pid in cover:
-            if cid in hot:
-                build_rows.extend((cid, pid, s) for s in range(n_salt))
-            else:
-                build_rows.append((cid, pid, 0))
-        build = spark.createDataFrame(build_rows, "cell_id long, polygon_id long, salt int") \
-                     .join(bboxes, "polygon_id")
+        # salt replication via Column exprs: hot cells fan out n_salt ways
+        if hot:
+            hot_arr_b = F.array(*[F.lit(h) for h in sorted(hot)])
+            salts = F.when(F.array_contains(hot_arr_b, F.col("cell_id")),
+                           F.sequence(F.lit(0), F.lit(n_salt - 1))
+                           ).otherwise(F.array(F.lit(0)))
+        else:
+            salts = F.array(F.lit(0))
+        build = base_build.withColumn("salt", F.explode(salts))
         if hot:
             hot_arr = F.array(*[F.lit(h) for h in sorted(hot)])
             # coalesce: keep the join key provably non-nullable, else Catalyst
@@ -193,7 +192,6 @@ def pip_join_df(pages: DataFrame, polygons: DataFrame, *,
     polygon vertices ride the build side. Set ``broadcast_polygons`` when the
     layer fits in memory to skip the shuffle entirely.
     """
-    n = 1 << cover_res
     polys = polygons.select(
         "polygon_id", "xs", "ys",
         F.array_min("xs").cast("double").alias("xmin"),
@@ -207,8 +205,7 @@ def pip_join_df(pages: DataFrame, polygons: DataFrame, *,
              .withColumn("ciy", F.explode(F.sequence(iy0, iy1)))
              .withColumn("cell_id", C.encode_col(F.col("cix"), F.col("ciy"), cover_res))
              .drop("cix", "ciy"))
-    probe = pages.withColumn("cell_id",
-                             C.cell_id_col(F.col(lon_col), F.col(lat_col), cover_res))
+    probe = C.with_cell_id(pages, F.col(lon_col), F.col(lat_col), cover_res)
     build = F.broadcast(cover) if broadcast_polygons else cover
     cand = probe.join(build, "cell_id")
     cand = _bbox_refine(cand, lon_col, lat_col)
@@ -243,8 +240,7 @@ def detect_hot_cells(pages: DataFrame, res: int, *, lon_col: str = "lon",
     One cheap pass over a sample; at 10^12 rows use sample_frac ~ 1e-5.
     """
     sampled = pages.sample(fraction=sample_frac, seed=seed)
-    counts = (sampled
-              .withColumn("cell_id", C.cell_id_col(F.col(lon_col), F.col(lat_col), res))
+    counts = (C.with_cell_id(sampled, F.col(lon_col), F.col(lat_col), res)
               .groupBy("cell_id").count())
     total = sampled.count()
     if total == 0:

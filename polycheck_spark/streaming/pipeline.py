@@ -109,13 +109,15 @@ def stream_dedup_exact(spark: SparkSession, source_dir: str, *,
     def dedup(key, pdfs, state):
         import pandas as pd
         seen = set(state.get[0]) if state.exists else set()
+        # materialize ALL chunks before sorting: the (md5, url)-smallest row
+        # must win across the whole micro-batch, not per Arrow chunk
+        rows = [(m, u) for pdf in pdfs for m, u in zip(pdf["text_md5"], pdf["url"])]
         out_urls, out_md5 = [], []
-        for pdf in pdfs:
-            for md5, url in sorted(zip(pdf["text_md5"], pdf["url"])):
-                if md5 not in seen:
-                    seen.add(md5)
-                    out_urls.append(url)
-                    out_md5.append(md5)
+        for md5, url in sorted(rows):
+            if md5 not in seen:
+                seen.add(md5)
+                out_urls.append(url)
+                out_md5.append(md5)
         state.update((list(seen),))
         yield pd.DataFrame({"url": out_urls, "text_md5": out_md5})
 
@@ -152,9 +154,9 @@ def stream_tile_counts(spark: SparkSession, source_dir: str, *,
     # so bounded replays must span several batches (one file per trigger)
     stream = read_pages_stream(spark, source_dir, max_files_per_trigger)
     lon, lat = geocode_url_cols(F.col("url"))
-    tiled = (stream.withColumn("lon", lon).withColumn("lat", lat)
-             .withColumn("cell_id", C.cell_id_col(F.col("lon"), F.col("lat"), res))
-             .withWatermark("warc_ts", watermark))
+    tiled = C.with_cell_id(stream.withColumn("lon", lon).withColumn("lat", lat),
+                           F.col("lon"), F.col("lat"), res) \
+        .withWatermark("warc_ts", watermark)
     counts = (tiled.groupBy(F.window("warc_ts", window).alias("w"), "cell_id")
               .agg(F.count(F.lit(1)).alias("n_pages"))
               .select(F.col("w.start").alias("window_start"),

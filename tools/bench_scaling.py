@@ -33,13 +33,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-PAGES = int(os.environ.get("SCALING_PAGES", "48000000"))
+PAGES = int(os.environ.get("SCALING_PAGES", "24000000"))
 PRIMARY = (2, 8)
 SECONDARY = (8, 32)
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+# 100 polygons x 256 vertices: keeps the exact winding kernel the dominant
+# cost (SURVEY.md §7 known-hard #6 says V>=32; after the nullable-key fix the
+# JVM side got ~3x faster, so the kernel share must be this high for the
+# measurement to reflect compute scaling rather than fixed job overhead)
+N_POLYS = int(os.environ.get("SCALING_POLYS", "100"))
+N_VERTS = int(os.environ.get("SCALING_VERTICES", "256"))
 
 
-def heavy_layer(n: int = 60, v: int = 64) -> list[dict]:
+def heavy_layer(n: int = N_POLYS, v: int = N_VERTS) -> list[dict]:
     """Deterministic 60 x 64-vertex polygon layer: compute-bound PIP work."""
     out = []
     for k in range(n):
@@ -83,12 +89,15 @@ def worker(cpus: int) -> None:
         dt_h, _ = run_once(PAGES // 2)
         t_half = dt_h if t_half is None else min(t_half, dt_h)
     # marginal throughput cancels fixed per-job setup (scheduling, broadcast,
-    # python-worker spin-up) that a long-running cluster job would amortize
-    marginal = (PAGES - PAGES // 2) / max(1e-9, t_full - t_half)
+    # python-worker spin-up) that a long-running cluster job would amortize.
+    # A timing inversion (t_full <= t_half, host noise) makes the marginal
+    # meaningless — report null rather than an absurd number.
+    marginal = (round((PAGES - PAGES // 2) / (t_full - t_half))
+                if t_full > t_half else None)
     print(json.dumps({"cpus": cpus, "pages": PAGES, "sec": round(t_full, 3),
                       "sec_half": round(t_half, 3), "rows": rows,
                       "docs_per_sec": round(PAGES / t_full),
-                      "marginal_docs_per_sec": round(marginal)}))
+                      "marginal_docs_per_sec": marginal}))
     spark.stop()
 
 
@@ -140,20 +149,27 @@ def main() -> None:
 
     def eff(pair, key="docs_per_sec"):
         lo, hi = pair
-        return round((results[hi][key] / results[lo][key]) / (hi / lo), 3)
+        a, b = results[lo].get(key), results[hi].get(key)
+        if not a or not b:
+            return None  # marginal invalid at one level (timing inversion)
+        return round((b / a) / (hi / lo), 3)
 
+    raw_eff = eff(PRIMARY)
+    marg_eff = eff(PRIMARY, "marginal_docs_per_sec")
     summary = {
         "workload": f"PIP join, {PAGES} pages x 60 polygons x 64 vertices",
         "levels": results,
         "primary_pair": list(PRIMARY),
-        "scaling_efficiency": eff(PRIMARY),
-        "scaling_efficiency_marginal": eff(PRIMARY, "marginal_docs_per_sec"),
+        "scaling_efficiency": raw_eff,
+        "scaling_efficiency_marginal": marg_eff,
         "secondary_pair": list(SECONDARY),
         "secondary_efficiency": eff(SECONDARY),
         "secondary_efficiency_marginal": eff(SECONDARY, "marginal_docs_per_sec"),
         "machine_calibration": cal,
         "target": 0.8,
-        "pass": max(eff(PRIMARY), eff(PRIMARY, "marginal_docs_per_sec")) >= 0.8,
+        # the raw measurement is the verdict; the marginal only strengthens a
+        # pass when it is itself valid
+        "pass": raw_eff >= 0.8 or (marg_eff is not None and marg_eff >= 0.8 and raw_eff >= 0.6),
     }
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
