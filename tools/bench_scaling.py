@@ -12,9 +12,10 @@ machine to demonstrate. The N=2 vs 4N=8 pair is therefore the honest
 measurement of the ENGINE's parallel decomposition; the 8 vs 32 pair is also
 reported, alongside the machine calibration that explains its ceiling.
 
-Workload: flagship PIP join with a 60-polygon x 64-vertex layer over
-arithmetic-geocoded pages — candidate volume ~ pages, kernel work dominates
-(SURVEY.md §7 known-hard #6), all stages distributed, zero driver loops.
+Workload: flagship PIP join with a coastline-complexity layer (100 polygons
+x 1024 vertices) over arithmetic-geocoded pages — candidate volume ~ pages,
+the exact winding kernel dominates the cost (SURVEY.md §7 known-hard #6),
+all stages distributed, zero driver loops.
 
 Usage:
     python tools/bench_scaling.py                # both pairs + calibration -> BENCH/scaling.json
@@ -33,20 +34,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-PAGES = int(os.environ.get("SCALING_PAGES", "24000000"))
+PAGES = int(os.environ.get("SCALING_PAGES", "12000000"))
 PRIMARY = (2, 8)
 SECONDARY = (8, 32)
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
-# 100 polygons x 256 vertices: keeps the exact winding kernel the dominant
+# 100 polygons x 1024 vertices: keeps the exact winding kernel the dominant
 # cost (SURVEY.md §7 known-hard #6 says V>=32; after the nullable-key fix the
 # JVM side got ~3x faster, so the kernel share must be this high for the
 # measurement to reflect compute scaling rather than fixed job overhead)
 N_POLYS = int(os.environ.get("SCALING_POLYS", "100"))
-N_VERTS = int(os.environ.get("SCALING_VERTICES", "256"))
+N_VERTS = int(os.environ.get("SCALING_VERTICES", "1024"))
 
 
 def heavy_layer(n: int = N_POLYS, v: int = N_VERTS) -> list[dict]:
-    """Deterministic 60 x 64-vertex polygon layer: compute-bound PIP work."""
+    """Deterministic n x v-vertex polygon layer: compute-bound PIP work."""
     out = []
     for k in range(n):
         cx = -180.0 + 360.0 * (((k + 3) * 0.7548776662466927) % 1.0)
@@ -157,7 +158,7 @@ def main() -> None:
     raw_eff = eff(PRIMARY)
     marg_eff = eff(PRIMARY, "marginal_docs_per_sec")
     summary = {
-        "workload": f"PIP join, {PAGES} pages x 60 polygons x 64 vertices",
+        "workload": f"PIP join, {PAGES} pages x {N_POLYS} polygons x {N_VERTS} vertices",
         "levels": results,
         "primary_pair": list(PRIMARY),
         "scaling_efficiency": raw_eff,
