@@ -108,16 +108,31 @@ WHERE p.n_common * {den} >= {num} * (sa.n + sb.n - p.n_common)
 
 # --- MinHash + LSH ---------------------------------------------------------------
 
+_MH_Q = 1_000_000_007          # reduce the md5 int below 2^30 first so the
+_MH_P = 2_147_483_647          # affine mix a*h + b stays within int64 (ANSI)
+_MH_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393,
+         3141592653, 2718281829, 1442695041, 1160481885, 2971215073,
+         1936502639, 1300027, 756839, 859433, 2976221, 3021377]
+_MH_B = [1013904223, 826366247, 104729, 40503, 65537,
+         7919, 5381, 33391, 99991, 65521,
+         131071, 524287, 6700417, 2147483647, 998244353, 69313]
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """(id, m0..m{N-1}): N_MINHASH md5-derived min-hashes per doc.
+    """(id, m0..m{N-1}): N_MINHASH min-hashes per doc.
 
     One shingle pass, N_MINHASH min-aggregates computed side by side — no
     N_MINHASH-fold row explosion (at 10^12 docs the shingle table is already
     the dominant shuffle; multiplying it by 16 would be the bottleneck).
+    The seeded hashes are affine mixes of ONE md5 per shingle
+    (h_i = (a_i*h + b_i) mod p, the classic universal-hash family) —
+    computing 16 independent md5s per shingle costs 16x for no extra
+    collision quality.
     """
     sh = _shingles(docs, id_col, text_col)
-    mins = [F.min(_tok_int(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+    h = F.pmod(_tok_int(F.col("shingle")), F.lit(_MH_Q))
+    mins = [F.min(F.pmod(h * F.lit(_MH_A[i]) + F.lit(_MH_B[i]), F.lit(_MH_P))).alias(f"m{i}")
             for i in range(N_MINHASH)]
     return sh.groupBy("id").agg(*mins)
 
@@ -144,8 +159,9 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
     n_bands = N_MINHASH // BAND_SIZE
+    h = f"(({_tok_int_sql('shingle')}) % {_MH_Q})"
     mins = ", ".join(
-        "MIN({h}) AS m{i}".format(h=_tok_int_sql(f"('{i}:' || shingle)"), i=i)
+        f"MIN(({h} * {_MH_A[i]} + {_MH_B[i]}) % {_MH_P}) AS m{i}"
         for i in range(N_MINHASH))
     band_rows = " UNION ALL ".join(
         "SELECT id, {b} AS band, ({key}) AS bkey FROM sig".format(
