@@ -289,12 +289,15 @@ def q_tile_quantiles(spark, sf_dir):
 def q_agg_lineitem(spark, sf_dir):
     """TPC-H Q1-shaped aggregation (partial agg map-side, one shuffle)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # sums in DECIMAL so the result is order-of-summation independent and
-    # bit-identical to the oracle
+    # sums accumulate in DECIMAL (order-of-summation independent, exact) and
+    # the final value is cast to DOUBLE on BOTH sides: decimal->double is a
+    # single deterministic rounding, while decimal RENDERING differs between
+    # engines (Spark keeps Decimal('138014.00'), DuckDB clients materialize
+    # 138014.0) — that representation gap was CORRECTNESS_r01's one hash fail
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
                  F.count(F.lit(1)).alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
@@ -307,7 +310,7 @@ def q_broadcast_join_agg(spark, sf_dir):
                         orders.o_custkey == cust.c_custkey)
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
             .orderBy("c_mktsegment"))
 
 
@@ -444,14 +447,14 @@ def oracle_sql() -> dict[str, str]:
         # covered by tests/test_text_ops.py recall tests)
         "agg_lineitem": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2 ORDER BY 1, 2""",
         "broadcast_join_agg": """
 SELECT c_mktsegment, COUNT(*) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY 1""",
         "window_topk": """
