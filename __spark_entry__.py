@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from polycheck_spark.data import synth
-from polycheck_spark.data.polygons import default_query_layer, winding_join_sql
+from polycheck_spark.data import walk_oracles as WO
+from polycheck_spark.data.polygons import GOLDEN_POLYGONS, default_query_layer, winding_join_sql
 from polycheck_spark.geo import cells as C
 from polycheck_spark.operators import dedup as D, similarity as SIM, text as TX
 from polycheck_spark.operators import pip_join as PJ
@@ -231,44 +232,133 @@ def q_ann_lsh(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
-# --- raster / sensor / scan pipelines (rows-only: iterative ray-walk
-# semantics are not SQL-expressible; exactness is covered by the golden
-# pytest suite against the reference kernels) --------------------------------
+# --- raster / sensor / scan pipelines ---------------------------------------
+# Every walk query now has a DuckDB recursive-CTE oracle
+# (polycheck_spark/data/walk_oracles.py) replicating the float32/double
+# control flow of the kernels, so the driver value-checks them.
+
+# fixed instances shared between the Spark query and its oracle
+def _reg8_grid():
+    import numpy as np
+    g = np.zeros((8, 8), dtype=np.float32)
+    g[3:5, 3:5] = 0.5
+    return g
+
+
+_VIS_STARTS = [(0, 0), (7, 0), (0, 7)]
+_VIS_ENDS = [(7, 7), (4, 4), (2, 6), (6, 2)]
+
+_O2_START = (1, 2)
+_O2_MAX_RANGE = 6
+_O2_ENDS = [(ex, ey) for ey in range(8) for ex in range(8) if (3 * ex + 5 * ey) % 7 < 3]
+
+
+def _o4_grid():
+    import numpy as np
+    g = np.zeros((8, 8), dtype=np.float32)
+    g[2, 3] = 0.3
+    g[4, 4] = 0.6
+    g[5, 1] = 0.25
+    g[1, 6] = 0.8
+    return g
+
+
+_O4_ORIGIN, _O4_RES, _O4_MAX_RANGE = (-2.0, 1.0), 0.5, 2.5
+# world coordinates chosen float32-exact (multiples of 1/16) so the oracle can
+# embed them losslessly
+_O4_STARTS = [(-1.75, 1.25), (0.5, 3.0625), (1.9375, 4.5)]
+_O4_ENDS = [(-1.0, 2.5), (0.25, 1.5), (1.5, 3.75), (-0.5, 4.25), (1.0, 2.0)]
+
+
+def _o6_grid():
+    import numpy as np
+    g = np.zeros((6, 6), dtype=np.float32)
+    g[2, 2] = 0.5
+    g[3, 4] = 0.35
+    g[1, 1] = 0.2
+    return g
+
+
+_O6_ORIGIN, _O6_RES = (-1.0, -1.0), 0.5
+import math as _math
+_O6_SENSORS = [(0, -0.75, -0.5, 2.0, 0.0, 2 * _math.pi),
+               (1, 1.25, 1.5, 30.0, _math.pi / 3, 2 * _math.pi),
+               (2, 0.5, 0.25, 0.0, 0.0, 2 * _math.pi)]
+
+_SU_SENSORS = [(0, 0.0, 3.0, 20.0, 0.0, 2 * _math.pi),
+               (1, 3.0, 0.0, 20.0, _math.pi / 2, 2 * _math.pi)]
+
+_FS_POLY_NAMES = ("triangle", "square2")
+_FS_ARGS = ((0.0, 0.0), 0.0, _math.pi / 180.0, 360, 10.0, 0.1)
+
+
+def q_visibility(spark, sf_dir):
+    """Single-source visibility raster (O2): walk a subset of ends with a
+    step-count max_range, scatter onto the full 8x8 raster (missing -> 0)."""
+    from polycheck_spark.operators.visibility import visibility_df, scatter_to_raster
+    ends = spark.createDataFrame(_O2_ENDS, "ex int, ey int")
+    vis = visibility_df(spark, _reg8_grid(), _O2_START, ends, max_range=_O2_MAX_RANGE)
+    return (scatter_to_raster(spark, vis, 8, 8)
+            .select("row", "col", "vis").orderBy("row", "col"))
+
 
 def q_visibility_region(spark, sf_dir):
     """All-pairs region visibility on the reg8 golden grid (O3)."""
-    import numpy as np
     from polycheck_spark.operators.visibility import visibility_from_region_df
-    g = np.zeros((8, 8), dtype=np.float32)
-    g[3:5, 3:5] = 0.5
-    starts = spark.createDataFrame([(0, 0), (7, 0), (0, 7)], "sx int, sy int")
-    ends = spark.createDataFrame([(7, 7), (4, 4), (2, 6), (6, 2)], "ex int, ey int")
-    return (visibility_from_region_df(spark, g, starts, ends)
+    starts = spark.createDataFrame(_VIS_STARTS, "sx int, sy int")
+    ends = spark.createDataFrame(_VIS_ENDS, "ex int, ey int")
+    return (visibility_from_region_df(spark, _reg8_grid(), starts, ends)
             .select("sx", "sy", "ex", "ey", "vis").orderBy("sx", "sy", "ex", "ey"))
+
+
+def q_visibility_real_region(spark, sf_dir):
+    """All-pairs real-coordinate (DDA) visibility with a range gate (O4)."""
+    from polycheck_spark.operators.visibility import visibility_from_region_df
+    starts = spark.createDataFrame(_O4_STARTS, "sx double, sy double")
+    ends = spark.createDataFrame(_O4_ENDS, "ex double, ey double")
+    return (visibility_from_region_df(spark, _o4_grid(), starts, ends,
+                                      max_range=_O4_MAX_RANGE, real=True,
+                                      origin=_O4_ORIGIN, resolution=_O4_RES)
+            .select("sx", "sy", "ex", "ey", "vis").orderBy("sx", "sy", "ex", "ey"))
+
+
+def _su_grid():
+    import numpy as np
+    g = np.zeros((6, 6), dtype=np.float32)
+    g[3, 1] = 0.4
+    g[1, 3] = 0.5
+    return g
 
 
 def q_sensor_union(spark, sf_dir):
     """Sensor union combine on the union_formula golden grid (O5+O8)."""
-    import math
-    import numpy as np
     from polycheck_spark.operators.visibility import sensor_visibility_df
-    g = np.zeros((6, 6), dtype=np.float32)
-    g[3, 1] = 0.4
-    g[1, 3] = 0.5
+    g = _su_grid()
     sensors = spark.createDataFrame(
-        [(0, 0.0, 3.0, 20.0, 0.0, 2 * math.pi), (1, 3.0, 0.0, 20.0, math.pi / 2, 2 * math.pi)],
+        _SU_SENSORS,
         "sensor_id int, x double, y double, range double, direction double, fov double")
     _, combined = sensor_visibility_df(spark, g, sensors, "union")
     return combined.select("ex", "ey", "p").orderBy("ey", "ex")
 
 
+def q_sensor_product_real(spark, sf_dir):
+    """Real-regime sensor product combine (O6 + O8 product path): DDA sum
+    walks from world-coordinate sensors, per-sensor ranges, product fuse."""
+    from polycheck_spark.operators.visibility import sensor_visibility_df
+    sensors = spark.createDataFrame(
+        _O6_SENSORS,
+        "sensor_id int, x double, y double, range double, direction double, fov double")
+    _, combined = sensor_visibility_df(spark, _o6_grid(), sensors, "product",
+                                       real=True, origin=_O6_ORIGIN, resolution=_O6_RES)
+    return combined.select("ex", "ey", "p").orderBy("ey", "ex")
+
+
 def q_faux_scan(spark, sf_dir):
     """Simulated LiDAR scan against the golden triangle+square layout (O7)."""
-    import math
     from polycheck_spark.data.polygons import GOLDEN_POLYGONS
     from polycheck_spark.operators.scan import faux_scan_df
-    polys = [GOLDEN_POLYGONS["triangle"], GOLDEN_POLYGONS["square2"]]
-    return (faux_scan_df(spark, polys, (0.0, 0.0), 0.0, math.pi / 180.0, 360, 10.0, 0.1)
+    polys = [GOLDEN_POLYGONS[n] for n in _FS_POLY_NAMES]
+    return (faux_scan_df(spark, polys, *_FS_ARGS)
             .select("ray_id", "range", "hit_polygon").orderBy("ray_id"))
 
 
@@ -384,8 +474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "visibility": q_visibility,
         "visibility_region": q_visibility_region,
+        "visibility_real_region": q_visibility_real_region,
         "sensor_union": q_sensor_union,
+        "sensor_product_real": q_sensor_product_real,
         "faux_scan": q_faux_scan,
         "tile_quantiles": q_tile_quantiles,
         "agg_lineitem": q_agg_lineitem,
@@ -443,8 +536,31 @@ def oracle_sql() -> dict[str, str]:
         "simhash": D.simhash_sql("documents") + " ORDER BY id",
         "ann_cosine": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                        + " ORDER BY query_id, rank"),
-        # ann_lsh: rows-only (bucket internals use JVM xxhash64; exactness is
-        # covered by tests/test_text_ops.py recall tests)
+        "ann_lsh": (SIM.lsh_bucket_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
+                    + " ORDER BY query_id, rank"),
+        # --- ray-walk oracles (recursive-CTE float32 twins) ---
+        "visibility": f"""
+SELECT c.row, c.col, CAST(COALESCE(v.vis, 0.0) AS FLOAT) AS vis
+FROM (SELECT CAST(i // 8 AS INT) AS row, CAST(i % 8 AS INT) AS col
+      FROM range(64) t(i)) c
+LEFT JOIN (SELECT ey AS row, ex AS col, vis FROM ({WO.bresenham_oracle_sql(
+    _reg8_grid(),
+    [(_O2_START[0], _O2_START[1], ex, ey) for ex, ey in _O2_ENDS],
+    "product", _O2_MAX_RANGE)})) v USING (row, col)
+ORDER BY c.row, c.col""",
+        "visibility_region": WO.bresenham_oracle_sql(
+            _reg8_grid(),
+            [(sx, sy, ex, ey) for (sx, sy) in _VIS_STARTS for (ex, ey) in _VIS_ENDS],
+            "product", 0),
+        "visibility_real_region": WO.dda_oracle_sql(
+            _o4_grid(), _O4_ORIGIN, _O4_RES,
+            [(a, b, c, d) for (a, b) in _O4_STARTS for (c, d) in _O4_ENDS],
+            "product", _O4_MAX_RANGE),
+        "sensor_union": WO.sensor_grid_oracle_sql(_su_grid(), _SU_SENSORS, "union"),
+        "sensor_product_real": WO.sensor_real_oracle_sql(
+            _o6_grid(), _O6_SENSORS, _O6_ORIGIN, _O6_RES, "product"),
+        "faux_scan": WO.faux_scan_oracle_sql(
+            [GOLDEN_POLYGONS[n] for n in _FS_POLY_NAMES], *_FS_ARGS),
         "agg_lineitem": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

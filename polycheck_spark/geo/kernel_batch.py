@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from polycheck_spark.geo.kernel import contains
+
 FLT_EPSILON = np.float32(1.1920928955078125e-07)
 
 
@@ -470,3 +472,73 @@ def line_observation_batch(data: np.ndarray, sx, sy, ex, ey,
         if dead.any():
             finish(dead, 0.0)
     return out.astype(np.float32)
+
+
+def line_range_batch(csr_vertices, csr_offsets, sx, sy, angles,
+                     max_range, resolution):
+    """Vectorized twin of kernel.line_range: all rays of a faux scan march one
+    float32 step per NumPy pass (polycheck.py:604-630 semantics).
+
+    Per step, each still-active ray's position is tested against every polygon
+    in CSR order — the FIRST containing polygon wins, exactly like the scalar
+    kernel's inner loop.  ``dist`` is the same scalar double sequence for all
+    rays (they share ``resolution``/``max_range``), so rays stay in lockstep
+    and a hit finishes the ray with the float32 of the current dist.
+
+    Args:
+        sx/sy: scalar origin (or per-ray arrays).
+        angles: (N,) per-ray angles; cast to float32 like the scalar kernel.
+
+    Returns:
+        (ranges (N,) float32, hits (N,) int32) — misses are (-1.0, INT32_MAX).
+    """
+    f = np.float32
+    angles = np.asarray(angles, f)
+    n = len(angles)
+    out_r = np.full(n, -1.0, dtype=f)
+    out_h = np.full(n, 0x7FFFFFFF, dtype=np.int32)
+    num_polygons = len(csr_offsets) - 1
+    if n == 0 or num_polygons == 0:
+        return out_r, out_h
+    res32 = f(resolution)
+    x_inc = (np.cos(angles) * res32).astype(f)
+    y_inc = (np.sin(angles) * res32).astype(f)
+    ax = np.broadcast_to(np.asarray(sx, f), (n,)).astype(f).copy()
+    ay = np.broadcast_to(np.asarray(sy, f), (n,)).astype(f).copy()
+    idx = np.arange(n)
+    axi, ayi = x_inc, y_inc
+    dist = 0.0  # C double, shared across rays (scalar kernel parity)
+    res_d = float(res32)
+    # Exact Y-slab gate: every winding crossing needs an edge with
+    # min(v1y,v2y) <= py < max(v1y,v2y), so py outside [ymin, ymax) has
+    # wn == 0 identically — pruning it cannot change any result.
+    slabs = []
+    for p in range(num_polygons):
+        ys = csr_vertices[csr_offsets[p]:csr_offsets[p + 1], 1]
+        slabs.append((ys.min() if len(ys) else f(0), ys.max() if len(ys) else f(0)))
+    while dist < max_range and len(idx):
+        ax = (ax + axi).astype(f)
+        ay = (ay + ayi).astype(f)
+        pts = np.stack([ax, ay], axis=1)
+        hit_p = np.full(len(idx), 0x7FFFFFFF, dtype=np.int32)
+        undecided = np.ones(len(idx), dtype=bool)
+        for p in range(num_polygons):
+            ymin, ymax = slabs[p]
+            sub = np.flatnonzero(undecided & (ay >= ymin) & (ay < ymax))
+            if not len(sub):
+                continue
+            lo, hi = csr_offsets[p], csr_offsets[p + 1]
+            c = contains(csr_vertices[lo:hi], pts[sub]) > 0
+            hits = sub[c]
+            hit_p[hits] = p
+            undecided[hits] = False
+        hm = hit_p != 0x7FFFFFFF
+        if hm.any():
+            out_r[idx[hm]] = f(dist)
+            out_h[idx[hm]] = hit_p[hm]
+            keep = ~hm
+            idx = idx[keep]
+            ax, ay = ax[keep], ay[keep]
+            axi, ayi = axi[keep], ayi[keep]
+        dist += res_d
+    return out_r, out_h

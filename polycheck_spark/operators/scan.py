@@ -13,7 +13,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from polycheck_spark.geo.kernel import line_range, pack_polygons_csr
+from polycheck_spark.geo.kernel import pack_polygons_csr
+from polycheck_spark.geo.kernel_batch import line_range_batch
 
 _OUT = T.StructType([T.StructField("range", T.FloatType()),
                      T.StructField("hit_polygon", T.IntegerType())])
@@ -42,14 +43,12 @@ def faux_scan_df(spark, polygons, origin, angle_start, angle_inc,
     @F.pandas_udf(_OUT)
     def march(ray_id: pd.Series) -> pd.DataFrame:
         v, o = bc.value
-        out_r, out_h = [], []
-        for i in ray_id:
-            # float32 angle arithmetic, as in the CUDA kernel (polycheck.py:805)
-            a = np.float32(np.float32(a0) + np.float32(i) * np.float32(ainc))
-            r, hit = line_range(v, o, ox, oy, a, mr, res)
-            out_r.append(np.float32(r))
-            out_h.append(np.int32(hit))
-        return pd.DataFrame({"range": out_r, "hit_polygon": out_h})
+        ids = ray_id.to_numpy(np.int64)
+        # float32 angle arithmetic, as in the CUDA kernel (polycheck.py:805)
+        angles = (np.float32(a0)
+                  + ids.astype(np.float32) * np.float32(ainc)).astype(np.float32)
+        rng, hit = line_range_batch(v, o, ox, oy, angles, mr, res)
+        return pd.DataFrame({"range": rng, "hit_polygon": hit})
 
     return (rays.withColumn("res", march(F.col("ray_id")))
             .select("ray_id", "angle", F.col("res.range").alias("range"),

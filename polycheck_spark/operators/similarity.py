@@ -77,12 +77,13 @@ SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank 
 
 
 def _plane_component(plane: int, dim_idx):
-    """Deterministic pseudo-hyperplane component in [-1, 1): hash of (plane, dim).
-
-    xxhash64 is JVM-side; the LSH path has no SQL oracle (rows-only check) so
-    cross-engine hash parity is not required here.
-    """
-    h = F.xxhash64(F.lit(plane), dim_idx)
+    """Deterministic pseudo-hyperplane component in [-1, 1): first 8 md5 hex
+    digits of 'plane:dim' — md5 is the one hash both engines compute
+    identically (same scheme as text._tok_int), so the whole LSH path is
+    oracle-expressible (see :func:`lsh_bucket_topk_sql`)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{plane}:"), dim_idx.cast("string"))), 1, 8),
+        16, 10).cast("long")
     return (F.pmod(h, F.lit(2_000_003)) - F.lit(1_000_001.5)) / F.lit(1_000_001.5)
 
 
@@ -126,3 +127,48 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "target_id", "rank"))
+
+
+def _plane_component_sql(plane: int, dim_expr: str) -> str:
+    return (f"(CAST('0x' || substr(md5('{plane}:' || CAST({dim_expr} AS VARCHAR)), 1, 8) "
+            f"AS BIGINT) % 2000003 - 1000001.5e0) / 1000001.5e0")
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = []
+    for p in range(N_PLANES):
+        proj = (f"list_sum(list_transform(range(len({vec})), "
+                f"i -> {vec}[i + 1] * ({_plane_component_sql(p, 'i')})))")
+        bits.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_bucket_topk_sql(table: str, queries_filter: str, k: int,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`lsh_bucket_topk` (multiprobe on): identical md5
+    plane weights, sign-bit buckets, 1-bit probes, exact rescore + rank."""
+    probes = ", ".join(["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(N_PLANES)])
+    return f"""
+WITH t AS (SELECT {id_col} AS target_id,
+                  list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS tvec FROM {table}),
+tb AS (SELECT target_id, tvec, {_bucket_sql('tvec')}::BIGINT AS bucket FROM t),
+q AS (SELECT {id_col} AS query_id,
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM {table} WHERE {queries_filter}),
+qb AS (SELECT query_id, qvec, {_bucket_sql('qvec')}::BIGINT AS qbucket FROM q),
+probes AS (SELECT query_id, qvec, unnest([{probes}]) AS bucket FROM qb),
+scored AS (
+  SELECT DISTINCT query_id, target_id,
+         list_sum(list_transform(range(len(qvec)), i -> qvec[i + 1] * tvec[i + 1]))
+           / sqrt(list_sum(list_transform(qvec, x -> x * x))
+                  * list_sum(list_transform(tvec, x -> x * x))) AS cosine
+  FROM tb JOIN probes USING (bucket)
+  WHERE target_id <> query_id
+),
+ranked AS (
+  SELECT query_id, target_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, target_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""

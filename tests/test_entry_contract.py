@@ -15,9 +15,8 @@ def test_queries_oracle_keys_align():
     unknown = set(oracles) - set(qs)
     assert not unknown, f"oracles without queries: {unknown}"
     rows_only = set(qs) - set(oracles)
-    # only ops with genuinely non-SQL-expressible internals may skip the oracle
-    assert rows_only <= {"ann_lsh", "visibility_region", "sensor_union",
-                         "faux_scan"}, rows_only
+    # round 2: every query is oracle-checked (walk oracles + md5 LSH planes)
+    assert not rows_only, rows_only
 
 
 def test_entry_runs(spark):

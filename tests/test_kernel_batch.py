@@ -123,6 +123,45 @@ def test_sensor_real_batch_equals_scalar():
     assert np.array_equal(got, exp)
 
 
+def _random_layer(rng, n_polys):
+    polys = []
+    for _ in range(n_polys):
+        cx, cy = rng.uniform(-6, 6, 2)
+        r = rng.uniform(0.5, 2.5)
+        k = rng.randint(3, 7)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        polys.append([(cx + r * np.cos(a), cy + r * np.sin(a)) for a in ang])
+    return polys
+
+
+def test_line_range_batch_equals_scalar():
+    import math
+    for seed in range(4):
+        rng = np.random.RandomState(200 + seed)
+        polys = _random_layer(rng, 1 + seed)
+        verts, offs = K.pack_polygons_csr(polys)
+        n = 180
+        angles = (np.float32(0.05) + np.arange(n, dtype=np.float32)
+                  * np.float32(2 * math.pi / n)).astype(np.float32)
+        got_r, got_h = KB.line_range_batch(verts, offs, 0.0, 0.0, angles, 8.0, 0.07)
+        exp = [K.line_range(verts, offs, 0.0, 0.0, a, 8.0, 0.07) for a in angles]
+        exp_r = np.array([np.float32(r) for r, _ in exp], dtype=np.float32)
+        exp_h = np.array([h for _, h in exp], dtype=np.int32)
+        assert np.array_equal(got_r, exp_r), seed
+        assert np.array_equal(got_h, exp_h), seed
+        assert (got_h != 0x7FFFFFFF).any(), seed  # some rays actually hit
+
+
+def test_line_range_batch_empty_and_miss():
+    verts, offs = K.pack_polygons_csr([[(100.0, 100.0), (101.0, 100.0), (100.5, 101.0)]])
+    r, h = KB.line_range_batch(verts, offs, 0.0, 0.0,
+                               np.linspace(0, 1, 5, dtype=np.float32), 3.0, 0.1)
+    assert (r == -1.0).all() and (h == 0x7FFFFFFF).all()
+    r0, h0 = KB.line_range_batch(verts, np.array([0], dtype=np.int64)[:1],
+                                 0.0, 0.0, np.zeros(3, np.float32), 3.0, 0.1)
+    assert (r0 == -1.0).all() and (h0 == 0x7FFFFFFF).all()
+
+
 def test_batch_throughput_sane():
     """The batch walk should be >=10x the scalar loop on a big batch."""
     import time
