@@ -362,6 +362,62 @@ def q_faux_scan(spark, sf_dir):
             .select("ray_id", "range", "hit_polygon").orderBy("ray_id"))
 
 
+# deterministic synthetic media payloads: ASCII-only magic prefixes picked by
+# doc_id % 6 (GIF / RIFF-subtypes / html lower+upper / raw), md5-of-id filler.
+# ASCII keeps the bytes representable as VARCHAR in DuckDB, whose sha256()
+# cannot hash BLOBs — PNG/JPEG (non-ASCII magics) stay pytest-covered
+# (tests/test_multimodal.py); the driver row checks length + digest + sniff.
+_MEDIA_PREFIXES = ["GIF8", None, "<!doctype html>", "<!DOCTYPE html>",
+                   "<HTML><body>", ""]
+_RIFF_SUB_STRS = ["WAVE", "WEBP", "AVI "]
+
+
+def q_media_metadata(spark, sf_dir):
+    from polycheck_spark.operators.multimodal import media_metadata
+    docs = _docs(spark, sf_dir)
+    m = F.md5(F.col("doc_id").cast("string"))
+    r6 = F.pmod(F.col("doc_id"), F.lit(6))
+    r3 = F.pmod(F.col("doc_id"), F.lit(3))
+    riff_sub = (F.when(r3 == 0, F.lit(_RIFF_SUB_STRS[0]))
+                 .when(r3 == 1, F.lit(_RIFF_SUB_STRS[1]))
+                 .otherwise(F.lit(_RIFF_SUB_STRS[2])))
+    p = (F.when(r6 == 1, F.concat(F.lit("RIFF"), F.substring(m, 1, 8), riff_sub, m))
+          .otherwise(F.concat(
+              *[F.when(r6 == i, F.lit(pre)).otherwise(F.lit(""))
+                for i, pre in enumerate(_MEDIA_PREFIXES) if pre], m)))
+    media = docs.select("doc_id", p.cast("binary").alias("payload"))
+    return (media_metadata(media, payload_col="payload")
+            .select("doc_id", F.col("media_bytes").cast("long").alias("media_bytes"),
+                    "media_sha", "media_type")
+            .orderBy("doc_id"))
+
+
+def _media_metadata_oracle() -> str:
+    from polycheck_spark.operators.multimodal import media_type_sql
+    subs = " ".join(f"WHEN r3 = {i} THEN '{sub}'"
+                    for i, sub in enumerate(_RIFF_SUB_STRS[:2]))
+    prefix_cases = " ".join(
+        f"WHEN r6 = {i} THEN '{pre}' || m"
+        for i, pre in enumerate(_MEDIA_PREFIXES) if pre)
+    return f"""
+WITH hx AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m,
+         doc_id % 6 AS r6, doc_id % 3 AS r3
+  FROM documents),
+px AS (
+  SELECT doc_id,
+         CASE WHEN r6 = 1 THEN 'RIFF' || substr(m, 1, 8) ||
+                   (CASE {subs} ELSE '{_RIFF_SUB_STRS[2]}' END) || m
+              {prefix_cases}
+              ELSE m END AS p
+  FROM hx)
+SELECT doc_id,
+       CAST(length(p) AS BIGINT) AS media_bytes,
+       sha256(p) AS media_sha,
+       {media_type_sql('lower(hex(p))')} AS media_type
+FROM px ORDER BY doc_id"""
+
+
 def q_tile_quantiles(spark, sf_dir):
     """Top-decile dense tiles via percent_rank (window quantiles)."""
     from pyspark.sql import Window
@@ -480,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sensor_union": q_sensor_union,
         "sensor_product_real": q_sensor_product_real,
         "faux_scan": q_faux_scan,
+        "media_metadata": q_media_metadata,
         "tile_quantiles": q_tile_quantiles,
         "agg_lineitem": q_agg_lineitem,
         "broadcast_join_agg": q_broadcast_join_agg,
@@ -561,6 +618,7 @@ ORDER BY c.row, c.col""",
             _o6_grid(), _O6_SENSORS, _O6_ORIGIN, _O6_RES, "product"),
         "faux_scan": WO.faux_scan_oracle_sql(
             [GOLDEN_POLYGONS[n] for n in _FS_POLY_NAMES], *_FS_ARGS),
+        "media_metadata": _media_metadata_oracle(),
         "agg_lineitem": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

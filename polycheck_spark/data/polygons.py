@@ -125,18 +125,29 @@ def layer_to_csr(layer: list[dict]):
     return verts, offsets, ids
 
 
-def edges_values_sql(layer: list[dict]) -> str:
-    """DuckDB VALUES list of directed edges (polygon_id, x1, y1, x2, y2).
+def _flit(v: float) -> str:
+    """17-digit scientific literal: parses directly as DOUBLE (bare decimal
+    literals parse as DECIMAL first and double-round on conversion)."""
+    return f"{v:.17e}"
 
-    Coordinates are emitted after a round-trip through float32 so the oracle
-    sees exactly the vertices the engine's float32 kernel sees.
+
+def edges_values_sql(layer: list[dict]) -> str:
+    """DuckDB VALUES list of directed edges
+    (polygon_id, x1, y1, x2, y2, dx, dy).
+
+    Coordinates round-trip through float32 so the oracle sees exactly the
+    vertices the engine's float32 kernel sees; dx/dy are the float32 edge
+    deltas the kernel multiplies by (kernel.contains side computation).
     """
     rows = []
     for p in layer:
-        verts = [(float(np.float32(x)), float(np.float32(y))) for x, y in p["vertices"]]
+        verts = [(np.float32(x), np.float32(y)) for x, y in p["vertices"]]
         for i, (x1, y1) in enumerate(verts):
             x2, y2 = verts[(i + 1) % len(verts)]
-            rows.append(f"({p['polygon_id']}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+            dx = float(np.float32(x2 - x1))
+            dy = float(np.float32(y2 - y1))
+            rows.append(f"({p['polygon_id']}, {_flit(float(x1))}, {_flit(float(y1))}, "
+                        f"{_flit(float(x2))}, {_flit(float(y2))}, {_flit(dx)}, {_flit(dy)})")
     return ",\n    ".join(rows)
 
 
@@ -145,38 +156,54 @@ def winding_join_sql(points_cte: str, layer: list[dict],
                      bbox_prefilter: bool = True) -> str:
     """Full DuckDB query: nonzero-winding PIP join of ``points_cte`` vs layer.
 
-    ``points_cte`` must be a CTE body selecting (point_id, lon, lat).
-    Emits the same strict/non-strict crossing rules as kernel.contains.
+    Float32-exact twin of kernel.contains: points are rounded to float32 and
+    the side test rounds after every op (double +,-,* on float32 operands are
+    exact, so CAST-per-op reproduces the kernel bit-for-bit).
+
+    Residual gap (documented): the bbox prefilter skips points outside a
+    polygon's float32 bounding box. The kernel tests them and computes an
+    exact winding of 0 unless float32 rounding flips a side sign for a point
+    sitting on a distant edge-line EXTENSION — adversarially constructible,
+    never observed on real layers, and excluded by the test data generator.
     """
     bbox_rows = []
     for p in layer:
         xs = [float(np.float32(x)) for x, _ in p["vertices"]]
         ys = [float(np.float32(y)) for _, y in p["vertices"]]
-        bbox_rows.append(f"({p['polygon_id']}, {min(xs)!r}, {min(ys)!r}, {max(xs)!r}, {max(ys)!r})")
+        bbox_rows.append(f"({p['polygon_id']}, {_flit(min(xs))}, {_flit(min(ys))}, "
+                         f"{_flit(max(xs))}, {_flit(max(ys))})")
     bbox_filter = (
         f"JOIN bboxes b ON b.polygon_id = e.polygon_id "
-        f"AND p.{lon} >= b.xmin AND p.{lon} <= b.xmax "
-        f"AND p.{lat} >= b.ymin AND p.{lat} <= b.ymax"
+        f"AND p.plon >= b.xmin AND p.plon <= b.xmax "
+        f"AND p.plat >= b.ymin AND p.plat <= b.ymax"
     ) if bbox_prefilter else ""
+    side = ("CAST(CAST(CAST(p.plat - e.y1 AS FLOAT) * e.dx AS FLOAT)"
+            " - CAST(CAST(p.plon - e.x1 AS FLOAT) * e.dy AS FLOAT) AS FLOAT)")
     return f"""
 WITH pts AS ({points_cte}),
-edges(polygon_id, x1, y1, x2, y2) AS (VALUES
+pts32 AS (
+  SELECT {point_id}, CAST({lon} AS FLOAT) AS plon, CAST({lat} AS FLOAT) AS plat
+  FROM pts
+),
+edges(polygon_id, x1, y1, x2, y2, dx, dy) AS (VALUES
     {edges_values_sql(layer)}
 ),
 bboxes(polygon_id, xmin, ymin, xmax, ymax) AS (VALUES
     {', '.join(bbox_rows)}
 ),
 wn AS (
-  SELECT p.{point_id} AS point_id, e.polygon_id,
+  SELECT point_id, polygon_id,
          SUM(CASE
-             WHEN e.y1 <= p.{lat} AND e.y2 > p.{lat}
-                  AND (e.x2 - e.x1) * (p.{lat} - e.y1) - (p.{lon} - e.x1) * (e.y2 - e.y1) > 0 THEN 1
-             WHEN e.y1 > p.{lat} AND e.y2 <= p.{lat}
-                  AND (e.x2 - e.x1) * (p.{lat} - e.y1) - (p.{lon} - e.x1) * (e.y2 - e.y1) < 0 THEN -1
+             WHEN y1 <= plat AND y2 > plat AND side > 0 THEN 1
+             WHEN y1 > plat AND y2 <= plat AND side < 0 THEN -1
              ELSE 0 END) AS w
-  FROM pts p
-  JOIN edges e ON TRUE
-  {bbox_filter}
+  FROM (
+    SELECT p.{point_id} AS point_id, e.polygon_id,
+           p.plat, e.y1, e.y2, {side} AS side
+    FROM pts32 p
+    JOIN edges e ON TRUE
+    {bbox_filter}
+  ) s
   GROUP BY 1, 2
 )
 SELECT point_id, polygon_id FROM wn WHERE w <> 0

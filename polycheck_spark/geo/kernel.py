@@ -429,7 +429,12 @@ def in_sensor_fov(sx, sy, tx, ty, sensor_range, direction, fov) -> bool:
         if is_zero_f32(dx) and is_zero_f32(dy):
             return True
         bearing = np.float32(np.arctan2(dy, dx))
-        angle_delta = np.float32(np.abs(wrap_to_pi(np.float32(bearing - np.float32(direction)))))
+        # wrap explicitly in float64: under NumPy 1.x the f32 scalar promoted
+        # to f64 implicitly (value-based promotion); NEP 50 (NumPy >= 2) keeps
+        # it f32, silently diverging from the batch twin at FOV boundaries —
+        # pin the dtype so both regimes wrap identically
+        angle_delta = np.float32(np.abs(wrap_to_pi(
+            np.float64(np.float32(bearing - np.float32(direction))))))
         if angle_delta > np.float32(0.5 * fov):
             return False
     return True

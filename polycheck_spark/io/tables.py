@@ -63,6 +63,24 @@ class CheckpointedWriter:
             json.dump(record, f)
         os.replace(tmp, self._marker_path(bucket))  # atomic claim
 
+    # -- one-time staging markers ---------------------------------------------
+
+    def _stage_marker_path(self, name: str) -> str:
+        return os.path.join(self.lineage_dir, f"stage_{name}.json")
+
+    def is_staged(self, name: str) -> bool:
+        return os.path.exists(self._stage_marker_path(name))
+
+    def mark_staged(self, name: str, record: dict) -> None:
+        """Atomic marker for a write-once staging step (e.g. the bucketed
+        source materialization): killed mid-stage -> no marker -> re-stage;
+        marker present -> every resume reads the staged data instead of
+        rescanning the source."""
+        tmp = self._stage_marker_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, self._stage_marker_path(name))
+
     # -- the resumable run loop ----------------------------------------------
 
     def run(self, buckets: list[int],

@@ -3,15 +3,19 @@
     spark-submit --py-files polycheck_spark.zip polycheck_spark/jobs/pip_join_job.py \
         --pages 1000000 --buckets 16 --out /tmp/pip_out
 
-The pages table is split into hash buckets on url; each bucket runs the full
-geocode -> tile -> PIP-join pipeline and commits atomically (lineage marker),
-so a killed job resumes from the last finished bucket.  Deterministic inputs
-plus deterministic bucket assignment give exactly-once output.
+Write-once-read-pruned: the source is scanned ONCE and materialized
+partitioned by a url-hash bucket id; each bucket's pipeline then runs over a
+partition-pruned read of its own directory (the 100 TB analog: one pass over
+the source table, never n_buckets rescans).  Each bucket commits atomically
+(lineage marker), so a killed job resumes from the last finished bucket —
+staging itself is marker-guarded the same way.  Deterministic inputs plus
+deterministic bucket assignment give exactly-once output.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 
 from pyspark.sql import functions as F
 
@@ -20,15 +24,30 @@ from polycheck_spark.data.polygons import default_query_layer
 from polycheck_spark.io.tables import CheckpointedWriter
 from polycheck_spark.operators import pip_join as PJ
 
+STAGE = "pages"
+
 
 def run_job(spark, num_pages: int, n_buckets: int, out_dir: str,
             fail_on=None) -> dict:
     layer = default_query_layer()
     writer = CheckpointedWriter(out_dir)
 
-    def build_bucket(k: int):
+    # stage 0 (once): ONE scan of the source, written partitioned by bucket.
+    # bucket is provably non-nullable (pmod of a hash) so the partition
+    # filter below prunes directories instead of re-evaluating expressions.
+    staged_dir = os.path.join(out_dir, "_staged_pages")
+    if not writer.is_staged(STAGE):
         pages = synth.geocoded_pages(spark, num_pages)
-        bucket = pages.filter(F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)) == k)
+        (pages.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"))
+         .write.mode("overwrite").partitionBy("bucket").parquet(staged_dir))
+        writer.mark_staged(STAGE, {"pages": num_pages, "buckets": n_buckets,
+                                   "path": staged_dir})
+
+    def build_bucket(k: int):
+        bucket = (spark.read.parquet(staged_dir)
+                  .filter(F.col("bucket") == k).drop("bucket"))
         joined = PJ.pip_join(spark, bucket, layer)
         return joined.select("url", "polygon_id", "cell_id", "lon", "lat",
                              F.sha2(F.col("text"), 256).alias("text_sha"))

@@ -43,16 +43,22 @@ FROM {table} GROUP BY 1 HAVING COUNT(*) > 1
 
 # --- shingles ----------------------------------------------------------------
 
-def _shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct word-NGRAM shingles per doc: (id, shingle)."""
+def _shingles(docs: DataFrame, id_col: str, text_col: str,
+              distinct: bool = True) -> DataFrame:
+    """Word-NGRAM shingles per doc: (id, shingle).
+
+    ``distinct=True`` (set semantics) is required by Jaccard counting;
+    MinHash passes ``distinct=False`` because min-aggregation is
+    duplicate-insensitive — skipping the dedup saves a full shuffle on the
+    dominant (shingle) table."""
     toks = tokens_col(F.col(text_col))
     grams = F.when(
         F.size(toks) >= NGRAM,
         F.transform(F.sequence(F.lit(0), F.size(toks) - NGRAM),
                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, NGRAM)))
     ).otherwise(F.array().cast("array<string>"))
-    return (docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-            .distinct())
+    out = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _shingles_sql(table: str, id_col: str, text_col: str) -> str:
@@ -69,16 +75,31 @@ def _shingles_sql(table: str, id_col: str, text_col: str) -> str:
 # --- n-gram Jaccard ------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (1, 2),
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_doc_freq: int | None = None) -> DataFrame:
     """All doc pairs (a < b) with shingle-set Jaccard >= num/den.
 
     The threshold is a rational (num, den) applied by integer
     cross-multiplication — no float boundary drift between engines.
+
+    ``max_doc_freq``: hot-shingle cap for scale. A shingle present in S docs
+    produces S^2 join rows, so ONE ubiquitous shingle ("terms of service")
+    melts the self-join at 100x data. With the cap, shingles appearing in
+    more than ``max_doc_freq`` docs are dropped from the PAIRING stage only
+    (n_a/n_b stay full-set sizes), making the Jaccard filter strictly
+    conservative — capped runs return a subset of uncapped pairs. None
+    disables the cap (exact semantics; what the driver oracle checks).
     """
     num, den = threshold
     sh = _shingles(docs, id_col, text_col).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (sh.alias("x").join(sh.alias("y"), "shingle")
+    pair_sh = sh
+    if max_doc_freq is not None:
+        cool = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("shingle"))
+        pair_sh = sh.join(cool, "shingle", "left_semi")
+    pairs = (pair_sh.alias("x").join(pair_sh.alias("y"), "shingle")
              .filter(F.col("x.id") < F.col("y.id"))
              .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
              .agg(F.count(F.lit(1)).alias("n_common")))
@@ -130,7 +151,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     computing 16 independent md5s per shingle costs 16x for no extra
     collision quality.
     """
-    sh = _shingles(docs, id_col, text_col)
+    sh = _shingles(docs, id_col, text_col, distinct=False)
     h = F.pmod(_tok_int(F.col("shingle")), F.lit(_MH_Q))
     mins = [F.min(F.pmod(h * F.lit(_MH_A[i]) + F.lit(_MH_B[i]), F.lit(_MH_P))).alias(f"m{i}")
             for i in range(N_MINHASH)]

@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from polycheck_spark.geo import cells as C
 
+# budget for the last-resort brute-force fallback: above it, retry at a
+# coarser resolution instead of emitting an unbounded cross product
+MAX_CROSS_PAIRS = 50_000_000
+# largest ring radius we materialize as a literal offset array ((2r+1)^2
+# structs in the plan); grids wider than this complete via coarse-res retry
+RING_CAP = 64
+
 
 def _topk(cand: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("target_id").asc())
@@ -65,6 +72,7 @@ def auto_res(n_targets: int, k: int) -> int:
 def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
              res: int | None = None, n_targets: int | None = None,
              initial_ring: int = 2, max_rounds: int = 4,
+             max_cross_pairs: int = MAX_CROSS_PAIRS,
              query_id: str = "query_id", target_id: str = "target_id",
              qlon: str = "lon", qlat: str = "lat",
              tlon: str = "lon", tlat: str = "lat") -> DataFrame:
@@ -95,30 +103,54 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
     n = 1 << res
 
     for _ in range(max_rounds):
-        if ring >= n:
-            break
-        topk = _topk(_candidates(remaining, t_indexed, ring, res), k).cache()
-        guarantee = (ring - 1) * cell_extent if ring > 1 else 0.0
+        r_eff = min(ring, n, RING_CAP)
+        topk = _topk(_candidates(remaining, t_indexed, r_eff, res), k).cache()
+        guarantee = (r_eff - 1) * cell_extent if r_eff > 1 else 0.0
         stats = topk.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("found"),
             F.max("dist2").alias("worst"))
         satisfied_ids = stats.filter(
             (F.col("found") >= k) & (F.col("worst") <= F.lit(guarantee * guarantee)))\
             .select("query_id")
+        # a ring that reaches every edge of the grid from this query's cell
+        # saw ALL targets — its top-k is complete whatever the guarantee says
+        full_cover = F.lit(r_eff) >= F.greatest(
+            F.col("qix"), F.lit(n - 1) - F.col("qix"),
+            F.col("qiy"), F.lit(n - 1) - F.col("qiy"))
+        covered_ids = remaining.filter(full_cover).select("query_id")
+        satisfied_ids = satisfied_ids.unionAll(covered_ids).distinct()
         done_parts.append(topk.join(satisfied_ids, "query_id", "left_semi")
                               .select("query_id", "target_id", "dist2", "rank"))
         remaining = remaining.join(satisfied_ids, "query_id", "left_anti").cache()
-        if remaining.isEmpty():
+        if r_eff >= n or remaining.isEmpty():
             remaining = None
             break
         ring *= 2
 
     if remaining is not None and not remaining.isEmpty():
-        # brute force for stragglers (grid outgrown or rounds exhausted)
-        cross = remaining.crossJoin(t0).withColumn(
-            "dist2",
-            (F.col("qlon") - F.col("tlon")) ** 2 + (F.col("qlat") - F.col("tlat")) ** 2)
-        done_parts.append(_topk(cross, k).select("query_id", "target_id", "dist2", "rank"))
+        # stragglers (rounds exhausted before the ring covered the grid):
+        # brute force only within a bounded pair budget, else retry the whole
+        # join at a coarser resolution (rings cover area 4x faster per halving
+        # and the full-cover rule guarantees completion by res=2)
+        nt = n_targets if n_targets is not None else t0.count()
+        n_rem = remaining.count()
+        if n_rem * max(nt, 1) > max_cross_pairs:
+            if res <= 2:
+                raise ValueError(
+                    f"knn fallback would cross-join {n_rem} x {nt} pairs "
+                    f"(> max_cross_pairs={max_cross_pairs}) even at res=2; "
+                    f"raise max_rounds or partition the query set")
+            coarse = knn_join(remaining, t0, k, res=max(2, res // 2),
+                              n_targets=nt, initial_ring=initial_ring,
+                              max_rounds=max_rounds, max_cross_pairs=max_cross_pairs,
+                              query_id="query_id", target_id="target_id",
+                              qlon="qlon", qlat="qlat", tlon="tlon", tlat="tlat")
+            done_parts.append(coarse.select("query_id", "target_id", "dist2", "rank"))
+        else:
+            cross = remaining.crossJoin(t0).withColumn(
+                "dist2",
+                (F.col("qlon") - F.col("tlon")) ** 2 + (F.col("qlat") - F.col("tlat")) ** 2)
+            done_parts.append(_topk(cross, k).select("query_id", "target_id", "dist2", "rank"))
 
     out = done_parts[0]
     for p in done_parts[1:]:

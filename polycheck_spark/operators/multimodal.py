@@ -29,10 +29,19 @@ _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
-    (b"RIFF", "audio/wav"),
     (b"<htm", "text/html"),
+    (b"<HTM", "text/html"),
     (b"<!do", "text/html"),
+    (b"<!DO", "text/html"),
 ]
+# RIFF is a container: the subtype lives in bytes 9-12
+_RIFF = b"RIFF"
+_RIFF_SUBTYPES = [
+    (b"WAVE", "audio/wav"),
+    (b"WEBP", "image/webp"),
+    (b"AVI ", "video/x-msvideo"),
+]
+_FALLBACK = "application/octet-stream"
 
 
 def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
@@ -41,16 +50,35 @@ def media_metadata(df: DataFrame, payload_col: str = "html") -> DataFrame:
 
     Sniffing compares HEX of the byte prefix (never decodes): arbitrary
     binary (PNG/JPEG/...) must not hit a UTF-8 decoder, which throws under
-    ANSI mode on malformed sequences."""
+    ANSI mode on malformed sequences.  Text prefixes are probed in both
+    common cases; RIFF containers dispatch on bytes 9-12 (WAVE/WEBP/AVI)."""
     p = F.col(payload_col)
     sniff = F.lower(F.hex(F.substring(p, 1, 4)))
-    mt = F.lit("application/octet-stream")
+    sub = F.lower(F.hex(F.substring(p, 9, 4)))
+    mt = F.lit(_FALLBACK)
     for magic, label in reversed(_MAGIC):
-        probe = magic.hex().lower()
-        mt = F.when(sniff.startswith(probe), F.lit(label)).otherwise(mt)
+        mt = F.when(sniff.startswith(magic.hex()), F.lit(label)).otherwise(mt)
+    riff_mt = F.lit(_FALLBACK)
+    for sub_magic, label in _RIFF_SUBTYPES:
+        riff_mt = F.when(sub == sub_magic.hex(), F.lit(label)).otherwise(riff_mt)
+    mt = F.when(sniff.startswith(_RIFF.hex()), riff_mt).otherwise(mt)
     return df.withColumn("media_bytes", F.length(p)) \
              .withColumn("media_sha", F.sha2(p, 256)) \
              .withColumn("media_type", mt)
+
+
+def media_type_sql(hex_expr: str) -> str:
+    """DuckDB twin of the sniff above, over a LOWERCASE hex-string expression
+    (prefix probes + RIFF subtype at hex chars 17-24)."""
+    riff_cases = " ".join(
+        f"WHEN substr({hex_expr}, 17, 8) = '{s.hex()}' THEN '{label}'"
+        for s, label in _RIFF_SUBTYPES)
+    probe_cases = " ".join(
+        f"WHEN substr({hex_expr}, 1, {len(m.hex())}) = '{m.hex()}' THEN '{label}'"
+        for m, label in _MAGIC)
+    return (f"(CASE WHEN substr({hex_expr}, 1, 8) = '{_RIFF.hex()}' THEN "
+            f"(CASE {riff_cases} ELSE '{_FALLBACK}' END) "
+            f"{probe_cases} ELSE '{_FALLBACK}' END)")
 
 
 N_FEATURES = 16

@@ -111,9 +111,19 @@ def _grid_bc(spark, data):
 
 def visibility_df(spark, data, start, ends_df: DataFrame, max_range=None) -> DataFrame:
     """O2 as a pipeline: ends (ex, ey) -> (ex, ey, vis); scatter into the
-    raster with :func:`scatter_to_raster`."""
-    bc = _grid_bc(spark, data)
+    raster with :func:`scatter_to_raster`.
+
+    The reference product walk has NO bounds checks (out-of-grid rays are UB,
+    polycheck.py:375-432); here out-of-grid ends get the defined value 0.0
+    via a Column gate (an in-bounds start and end keep the whole Bresenham
+    path inside their bounding box, so the kernel itself never reads out of
+    grid). An out-of-grid start is rejected eagerly."""
+    data = np.asarray(data, dtype=np.float32)
+    h, w = data.shape
     sx, sy = int(start[0]), int(start[1])
+    if not (0 <= sx < w and 0 <= sy < h):
+        raise ValueError(f"start {start} outside the {h}x{w} grid")
+    bc = _grid_bc(spark, data)
     mr = 0 if max_range is None else int(max_range)
 
     @F.pandas_udf(T.FloatType())
@@ -125,7 +135,15 @@ def visibility_df(spark, data, start, ends_df: DataFrame, max_range=None) -> Dat
             grid, np.full(len(exs), sx), np.full(len(exs), sy), exs, eys, mr)
         return pd.Series(vis)
 
-    return ends_df.withColumn("vis", walk(F.col("ex"), F.col("ey")))
+    # filter-split (not when()): an Arrow UDF evaluates its whole batch, so
+    # out-of-grid rows must never reach the kernel at all
+    in_bounds = ((F.col("ex") >= 0) & (F.col("ex") < w)
+                 & (F.col("ey") >= 0) & (F.col("ey") < h))
+    walk_rows = ends_df.filter(in_bounds).withColumn(
+        "vis", walk(F.col("ex"), F.col("ey")).cast("float"))
+    oob_rows = ends_df.filter(~in_bounds).withColumn(
+        "vis", F.lit(0.0).cast("float"))
+    return walk_rows.union(oob_rows)
 
 
 def scatter_to_raster(spark, vis_df: DataFrame, height: int, width: int) -> DataFrame:
@@ -169,6 +187,7 @@ def visibility_from_region_df(spark, data, starts_df: DataFrame, ends_df: DataFr
                 grid, sx.to_numpy(np.int64), sy.to_numpy(np.int64),
                 ex.to_numpy(np.int64), ey.to_numpy(np.int64), int(mr)))
 
+    zero_gate = None
     if mr > 0:
         # Conservative Catalyst prefilter: rays the kernel would certainly
         # zero skip the walk entirely.  Grid kernel counts Bresenham STEPS
@@ -176,16 +195,28 @@ def visibility_from_region_df(spark, data, starts_df: DataFrame, ends_df: DataFr
         # — both gates below are strict supersets of the kernel's own test,
         # and pruned rows get the exact value (0) the kernel returns.
         if real:
-            certainly_out = F.sqrt((F.col("ex") - F.col("sx")) ** 2
-                                   + (F.col("ey") - F.col("sy")) ** 2) \
+            zero_gate = F.sqrt((F.col("ex") - F.col("sx")) ** 2
+                               + (F.col("ey") - F.col("sy")) ** 2) \
                 > F.lit(mr * (1.0 + 1e-5) + 1e-3)
         else:
             cheb = F.greatest(F.abs(F.col("ex") - F.col("sx")),
                               F.abs(F.col("ey") - F.col("sy")))
-            certainly_out = cheb > F.lit(int(mr) + 1)
-        walk_rows = pairs.filter(~certainly_out).withColumn(
+            zero_gate = cheb > F.lit(int(mr) + 1)
+    if not real:
+        # the reference grid product walk has NO bounds checks (out-of-grid
+        # endpoints are UB, polycheck.py:375-432): give them the defined
+        # value 0 and keep them away from the kernel entirely (in-bounds
+        # endpoints bound the whole Bresenham path). The real (DDA) kernel
+        # bounds-checks internally, so no gate is needed there.
+        oob = ((F.col("sx") < 0) | (F.col("sx") >= w)
+               | (F.col("sy") < 0) | (F.col("sy") >= h)
+               | (F.col("ex") < 0) | (F.col("ex") >= w)
+               | (F.col("ey") < 0) | (F.col("ey") >= h))
+        zero_gate = oob if zero_gate is None else (zero_gate | oob)
+    if zero_gate is not None:
+        walk_rows = pairs.filter(~zero_gate).withColumn(
             "vis", walk(F.col("sx"), F.col("sy"), F.col("ex"), F.col("ey")).cast("float"))
-        pruned = pairs.filter(certainly_out).withColumn("vis", F.lit(0.0).cast("float"))
+        pruned = pairs.filter(zero_gate).withColumn("vis", F.lit(0.0).cast("float"))
         return walk_rows.union(pruned)
     vis = walk(F.col("sx"), F.col("sy"), F.col("ex"), F.col("ey"))
     return pairs.withColumn("vis", vis.cast("float"))

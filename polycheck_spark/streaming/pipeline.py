@@ -79,22 +79,29 @@ _DEDUP_STATE_SCHEMA = T.StructType([
 ])
 
 
+DEDUP_DIGEST_CHARS = 16  # 64-bit truncated digests in state (half the bytes)
+
+
 def stream_dedup_exact(spark: SparkSession, source_dir: str, *,
                        out_dir: str, checkpoint_dir: str,
                        n_shards: int = 64, available_now: bool = True,
-                       max_files_per_trigger: int | None = 1):
+                       max_files_per_trigger: int | None = 1,
+                       max_state_per_shard: int = 2_000_000):
     """Cross-batch exact dedup: custom stateful operator via
     ``applyInPandasWithState``.
 
-    Texts are sharded by an md5 prefix; each shard's state holds the set of
-    digests already emitted, so a page whose text appeared in ANY earlier
-    micro-batch is dropped. Within a batch the (md5, url)-smallest row wins —
-    output is deterministic for a fixed file order.
+    Texts are sharded by an md5 prefix; each shard's state holds the digests
+    already emitted, so a page whose text appeared in an earlier micro-batch
+    is dropped. Within a batch the (md5, url)-smallest row wins — output is
+    deterministic for a fixed file order.
 
-    State note for 10^12-document scale: per-shard digest sets grow with the
-    distinct-text count; production would bound them (digest truncation +
-    bloom filter, or state TTL via GroupStateTimeout) — the operator shape
-    (keyed state, exactly-once emission per digest) stays the same.
+    State bound (the 10^12-document contract): state holds TRUNCATED digests
+    (``DEDUP_DIGEST_CHARS`` hex chars = 64 bits; collision odds ~n^2/2^64 per
+    shard) in insertion order, capped at ``max_state_per_shard`` entries —
+    beyond the cap the OLDEST digests are evicted, giving sliding-window
+    dedup semantics: a duplicate arriving after its digest's eviction is
+    re-emitted. Total state <= n_shards * cap * 16 bytes, a constant —
+    independent of stream length.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -108,17 +115,22 @@ def stream_dedup_exact(spark: SparkSession, source_dir: str, *,
 
     def dedup(key, pdfs, state):
         import pandas as pd
-        seen = set(state.get[0]) if state.exists else set()
+        order = list(state.get[0]) if state.exists else []
+        seen = set(order)
         # materialize ALL chunks before sorting: the (md5, url)-smallest row
         # must win across the whole micro-batch, not per Arrow chunk
         rows = [(m, u) for pdf in pdfs for m, u in zip(pdf["text_md5"], pdf["url"])]
         out_urls, out_md5 = [], []
         for md5, url in sorted(rows):
-            if md5 not in seen:
-                seen.add(md5)
+            d = md5[:DEDUP_DIGEST_CHARS]
+            if d not in seen:
+                seen.add(d)
+                order.append(d)
                 out_urls.append(url)
                 out_md5.append(md5)
-        state.update((list(seen),))
+        if len(order) > max_state_per_shard:
+            order = order[-max_state_per_shard:]  # evict oldest (FIFO)
+        state.update((order,))
         yield pd.DataFrame({"url": out_urls, "text_md5": out_md5})
 
     deduped = keyed.groupBy("shard").applyInPandasWithState(

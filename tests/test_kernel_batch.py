@@ -162,6 +162,34 @@ def test_line_range_batch_empty_and_miss():
     assert (r0 == -1.0).all() and (h0 == 0x7FFFFFFF).all()
 
 
+def test_fov_wrap_is_promotion_independent():
+    """The scalar gate's angle wrap must run in float64 under BOTH NumPy
+    promotion regimes (value-based 1.x and NEP-50 2.x): wrap_to_pi fed an
+    explicit float64 equals the batch twin's float64 wrap bit-for-bit."""
+    import math
+    rng = np.random.RandomState(21)
+    for _ in range(200):
+        bearing = np.float32(rng.uniform(-math.pi, math.pi))
+        direction = np.float32(rng.uniform(-10, 10))
+        scalar_wrap = K.wrap_to_pi(np.float64(np.float32(bearing - direction)))
+        assert np.asarray(scalar_wrap).dtype == np.float64
+        batch_wrap = (np.float64(np.float32(bearing - direction)) + np.pi) \
+            % (2.0 * np.pi) - np.pi
+        assert scalar_wrap == batch_wrap
+    # and the full gates still agree on a randomized sweep
+    sx = rng.randint(0, 10, 300).astype(np.float32)
+    sy = rng.randint(0, 10, 300).astype(np.float32)
+    tx = rng.randint(0, 10, 300).astype(np.float32)
+    ty = rng.randint(0, 10, 300).astype(np.float32)
+    rngs = rng.choice([3.0, 8.0], 300)
+    drn = rng.uniform(-math.pi, math.pi, 300)
+    fov = rng.choice([math.pi / 4, math.pi], 300)
+    got = KB.in_sensor_fov_batch(sx, sy, tx, ty, rngs, drn, fov)
+    exp = np.array([K.in_sensor_fov(a, b, c, d, r, dd, f2)
+                    for a, b, c, d, r, dd, f2 in zip(sx, sy, tx, ty, rngs, drn, fov)])
+    assert np.array_equal(got, exp)
+
+
 def test_batch_throughput_sane():
     """The batch walk should be >=10x the scalar loop on a big batch."""
     import time

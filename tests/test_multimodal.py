@@ -16,6 +16,30 @@ def test_media_metadata_columns(spark):
     assert all(r["media_type"] == "text/html" for r in rows)  # generator emits <html>
 
 
+def test_media_sniffer_magic_dispatch(spark):
+    """Case-variant text prefixes and RIFF container subtypes (bytes 9-12)."""
+    cases = [
+        (b"\x89PNG\r\n\x1a\nrest", "image/png"),
+        (b"\xff\xd8\xff\xe0body", "image/jpeg"),
+        (b"GIF89a...", "image/gif"),
+        (b"<html><body>", "text/html"),
+        (b"<HTML><BODY>", "text/html"),
+        (b"<!doctype html>", "text/html"),
+        (b"<!DOCTYPE HTML>", "text/html"),
+        (b"RIFF\x10\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (b"RIFF\x10\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (b"RIFF\x10\x00\x00\x00AVI LIST", "video/x-msvideo"),
+        (b"RIFF\x10\x00\x00\x00XXXX....", "application/octet-stream"),
+        (b"plain bytes", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame([(i, bytearray(b)) for i, (b, _) in enumerate(cases)],
+                               "i int, payload binary")
+    got = {r["i"]: r["media_type"]
+           for r in M.media_metadata(df, payload_col="payload").collect()}
+    for i, (_, expected) in enumerate(cases):
+        assert got[i] == expected, (i, cases[i], got[i])
+
+
 def test_decode_media_strict_raises(spark):
     pages = synth.generate_pages(spark, 5)
     with pytest.raises(Exception) as ei:

@@ -37,6 +37,30 @@ def test_resume_after_kill_is_exactly_once(spark, tmp_path):
     assert out["snapshot"]["total_rows"] == ref["snapshot"]["total_rows"]
 
 
+def test_job_stages_source_once_and_prunes(spark, tmp_path):
+    """Write-once-read-pruned: the source is materialized a single time
+    (stage marker) and each bucket's scan carries a partition filter — no
+    per-bucket source rescan."""
+    import os
+    from pyspark.sql import functions as F
+    out_dir = str(tmp_path / "job")
+    run_job(spark, 2000, 4, out_dir)
+    w = CheckpointedWriter(out_dir)
+    assert w.is_staged("pages")
+    staged = os.path.join(out_dir, "_staged_pages")
+    assert sorted(n for n in os.listdir(staged) if n.startswith("bucket=")) \
+        == [f"bucket={k}" for k in range(4)]
+    # the bucket read is partition-pruned, not expression-filtered over all rows
+    df = spark.read.parquet(staged).filter(F.col("bucket") == 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan.split("PartitionFilters")[1][:120]
+    # resuming after completion re-runs nothing and re-stages nothing
+    mtime = os.path.getmtime(os.path.join(out_dir, "_lineage", "stage_pages.json"))
+    again = run_job(spark, 2000, 4, out_dir)
+    assert again["run"]["processed"] == []
+    assert os.path.getmtime(os.path.join(out_dir, "_lineage", "stage_pages.json")) == mtime
+
+
 def test_lineage_metrics_recorded(spark, tmp_path):
     out_dir = str(tmp_path / "job")
     run_job(spark, 1000, 3, out_dir)

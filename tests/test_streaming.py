@@ -82,6 +82,44 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
     assert not any(r["url"].endswith("?dup=1") for r in got)
 
 
+def test_stream_dedup_state_is_bounded(spark, tmp_path):
+    """Sliding-window state cap: with max_state_per_shard=4 and one shard,
+    recent duplicates are dropped while duplicates of EVICTED digests
+    re-emit — i.e. state size plateaus at the cap instead of growing."""
+    import time as _time
+    src = str(tmp_path / "cap_src")
+    rows1 = [(f"u{i}", f"text number {i}") for i in range(10)]
+    spark.createDataFrame(rows1, "url string, text string") \
+        .withColumn("warc_ts", F.current_timestamp()) \
+        .withColumn("html", F.col("text").cast("binary")) \
+        .select("url", "warc_ts", "html", "text", F.lit("en").alias("lang")) \
+        .coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    # insertion order within a batch is (md5, url)-sorted, so the cap keeps
+    # the 4 digest-largest texts of batch 1 — compute survivors explicitly
+    import hashlib
+    by_md5 = sorted(range(10), key=lambda i: hashlib.md5(
+        f"text number {i}".encode()).hexdigest())
+    evicted, kept = by_md5[:6], by_md5[6:]
+    probe = [evicted[0], evicted[1], kept[-2], kept[-1]]
+    rows2 = [(f"r{i}", f"text number {i}") for i in probe]
+    spark.createDataFrame(rows2, "url string, text string") \
+        .withColumn("warc_ts", F.current_timestamp()) \
+        .withColumn("html", F.col("text").cast("binary")) \
+        .select("url", "warc_ts", "html", "text", F.lit("en").alias("lang")) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "cap_out")
+    ckpt = str(tmp_path / "cap_ckpt")
+    SP.stream_dedup_exact(spark, src, out_dir=out, checkpoint_dir=ckpt,
+                          n_shards=1, max_state_per_shard=4) \
+        .awaitTermination(300)
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert {f"u{i}" for i in range(10)} <= got                    # batch 1 all distinct
+    assert {f"r{i}" for i in probe[:2]} <= got                    # evicted digests re-emit
+    assert not ({f"r{i}" for i in probe[2:]} & got)               # kept digests still dedup
+
+
 def test_stream_tile_counts_watermark_semantics(spark, tmp_path):
     """With time-ordered input files nothing arrives late, so every window the
     watermark released must match the batch count exactly; windows newer than

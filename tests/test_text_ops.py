@@ -59,6 +59,24 @@ def test_ngram_jaccard(spark, sf_dir, docs):
     assert got == exp
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """One ubiquitous shingle must not force every pair: capped runs return a
+    subset of uncapped pairs, and docs related ONLY via the hot shingle drop."""
+    common = "the terms of service apply"
+    rows = [(i, f"{common} doc number {i} unique tail {i * 7}") for i in range(8)]
+    rows += [(100, "alpha beta gamma delta epsilon"),
+             (101, "alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r["a"], r["b"]) for r in
+                D.ngram_jaccard_pairs(docs, threshold=(1, 10)).collect()}
+    capped = {(r["a"], r["b"]) for r in
+              D.ngram_jaccard_pairs(docs, threshold=(1, 10), max_doc_freq=4).collect()}
+    assert capped <= uncapped
+    assert (100, 101) in capped          # cool pair survives
+    assert not any(a < 8 and b < 8 for a, b in capped)  # hot-only pairs gone
+    assert any(a < 8 and b < 8 for a, b in uncapped)
+
+
 def test_lsh_candidates(spark, sf_dir, docs):
     got = _sorted_rows(D.lsh_candidate_pairs(docs))
     exp = sorted(_duck(sf_dir, D.lsh_candidate_pairs_sql("documents")))

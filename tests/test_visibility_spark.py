@@ -35,6 +35,27 @@ def test_visibility_df_matches_local(spark):
         assert r["vis"] == pytest.approx(local[r["row"], r["col"]], abs=1e-7)
 
 
+def test_visibility_oob_ends_defined_zero(spark):
+    """Out-of-grid endpoints (reference UB) get the defined value 0.0 and
+    never reach the walk kernel; an out-of-grid start raises."""
+    grid = _vis10()
+    ends_df = spark.createDataFrame(
+        [(9, 9), (-1, 5), (10, 0), (3, -2), (0, 10)], "ex int, ey int")
+    got = {(r["ex"], r["ey"]): r["vis"]
+           for r in V.visibility_df(spark, grid, (0, 0), ends_df).collect()}
+    assert got[(9, 9)] > 0.0
+    assert all(got[e] == 0.0 for e in [(-1, 5), (10, 0), (3, -2), (0, 10)])
+    with pytest.raises(ValueError, match="outside"):
+        V.visibility_df(spark, grid, (12, 0), ends_df)
+    starts_df = spark.createDataFrame([(0, 0), (-3, 4)], "sx int, sy int")
+    got2 = {(r["sx"], r["sy"], r["ex"], r["ey"]): r["vis"]
+            for r in V.visibility_from_region_df(
+                spark, grid, starts_df, ends_df).collect()}
+    assert all(v == 0.0 for (sx, sy, ex, ey), v in got2.items()
+               if sx == -3 or (ex, ey) != (9, 9))
+    assert got2[(0, 0, 9, 9)] > 0.0
+
+
 def test_region_visibility_matches_local(spark):
     """reg8 fixture: 8x8, [3:5,3:5]=0.5, 3 starts x 4 ends."""
     g = np.zeros((8, 8), dtype=np.float32)
