@@ -2,11 +2,13 @@
 
 ``entry(spark)`` — flagship PIP spatial join on sf0.001.
 ``queries()``   — one entry per implemented operator (SURVEY.md §2).
-``oracle_sql()``— DuckDB twins for every SQL-expressible query; ops whose
-                  semantics are iterative ray walks / LSH internals are
-                  rows-only checked (their exact semantics are covered by the
-                  golden pytest suite instead: tests/test_kernel_golden.py,
-                  tests/test_visibility_spark.py).
+``oracle_sql()``— a DuckDB twin for EVERY query (34/34): iterative ray walks
+                  run as recursive-CTE float32 twins
+                  (polycheck_spark/data/walk_oracles.py) and the LSH paths use
+                  md5-derived plane/band hashes both engines compute
+                  identically. The golden pytest suite additionally anchors
+                  the kernels to the reference bit-for-bit
+                  (tests/test_kernel_golden.py, tests/test_visibility_spark.py).
 """
 
 from __future__ import annotations
@@ -222,6 +224,43 @@ def q_ann_cosine(spark, sf_dir):
     return (SIM.cosine_topk(emb, q, KNN_K)
             .select("query_id", "target_id", F.col("rank").cast("long").alias("rank"))
             .orderBy("query_id", "rank"))
+
+
+NEAR_DUP_THRESH = (3, 5)
+NEAR_DUP_MOD = 50
+NEAR_DUP_OFFSET = 100_000
+
+
+def q_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH-bucketed scale path).
+
+    The raw embeddings are near-orthogonal (no true near-dups), so the query
+    injects them deterministically: every (vec_id % 50 == 0) vector gets a
+    copy at id+100000 with element 0 shifted by +0.25 — float32-exact and
+    reproduced identically in the oracle, which mirrors the bucketing too
+    (recall is covered by pytest; the driver checks value parity)."""
+    emb = _emb(spark, sf_dir)
+    pert = (F.concat(
+        F.array((F.element_at(F.col("embedding"), 1) + F.lit(0.25)).cast("float")),
+        F.slice(F.col("embedding"), 2, F.size(F.col("embedding")) - 1)))
+    dups = (emb.filter(F.col("vec_id") % NEAR_DUP_MOD == 0)
+            .select((F.col("vec_id") + NEAR_DUP_OFFSET).alias("vec_id"),
+                    pert.alias("embedding")))
+    both = emb.select("vec_id", "embedding").unionByName(dups)
+    return SIM.near_dup_pairs(both, NEAR_DUP_THRESH, mode="lsh").orderBy("a", "b")
+
+
+def _near_dup_oracle() -> str:
+    inner = SIM.near_dup_pairs_sql("emb_both", NEAR_DUP_THRESH, mode="lsh")
+    return f"""
+WITH emb_both AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {NEAR_DUP_OFFSET} AS vec_id,
+         [CAST(embedding[1] + 0.25 AS FLOAT)] || embedding[2:] AS embedding
+  FROM embeddings WHERE vec_id % {NEAR_DUP_MOD} = 0
+)
+SELECT a, b FROM ({inner}) ORDER BY a, b"""
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -530,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "near_dup": q_near_dup,
         "visibility": q_visibility,
         "visibility_region": q_visibility_region,
         "visibility_real_region": q_visibility_real_region,
@@ -595,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
                        + " ORDER BY query_id, rank"),
         "ann_lsh": (SIM.lsh_bucket_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                     + " ORDER BY query_id, rank"),
+        "near_dup": _near_dup_oracle(),
         # --- ray-walk oracles (recursive-CTE float32 twins) ---
         "visibility": f"""
 SELECT c.row, c.col, CAST(COALESCE(v.vis, 0.0) AS FLOAT) AS vis

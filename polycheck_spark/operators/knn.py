@@ -113,12 +113,15 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
             (F.col("found") >= k) & (F.col("worst") <= F.lit(guarantee * guarantee)))\
             .select("query_id")
         # a ring that reaches every edge of the grid from this query's cell
-        # saw ALL targets — its top-k is complete whatever the guarantee says
-        full_cover = F.lit(r_eff) >= F.greatest(
-            F.col("qix"), F.lit(n - 1) - F.col("qix"),
-            F.col("qiy"), F.lit(n - 1) - F.col("qiy"))
-        covered_ids = remaining.filter(full_cover).select("query_id")
-        satisfied_ids = satisfied_ids.unionAll(covered_ids).distinct()
+        # saw ALL targets — its top-k is complete whatever the guarantee says.
+        # No query can be covered before r_eff reaches half the grid, so the
+        # extra union/distinct stays out of the early-round plans entirely.
+        if 2 * r_eff >= n - 1:
+            full_cover = F.lit(r_eff) >= F.greatest(
+                F.col("qix"), F.lit(n - 1) - F.col("qix"),
+                F.col("qiy"), F.lit(n - 1) - F.col("qiy"))
+            covered_ids = remaining.filter(full_cover).select("query_id")
+            satisfied_ids = satisfied_ids.unionAll(covered_ids).distinct()
         done_parts.append(topk.join(satisfied_ids, "query_id", "left_semi")
                               .select("query_id", "target_id", "dist2", "rank"))
         remaining = remaining.join(satisfied_ids, "query_id", "left_anti").cache()

@@ -129,6 +129,76 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
             .select("query_id", "target_id", "rank"))
 
 
+def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20), *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   mode: str = "lsh") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine(a, b) >= num/den.
+
+    mode 'lsh' (the 100-TB path): candidates restricted to shared LSH buckets
+    (multiprobe, same md5 hyperplanes as :func:`lsh_bucket_topk`), exact
+    cosine rescore inside buckets — never an all-pairs product.  mode
+    'exact': brute-force all-pairs (the small-scale verifier; recall 1).
+    The threshold is rational (num, den) cross-multiplied so there is no
+    float-literal boundary drift between engines.
+    """
+    num, den = threshold
+    t = embeddings.select(F.col(id_col).alias("a"),
+                          F.col(vec_col).cast("array<double>").alias("avec"))
+    u = embeddings.select(F.col(id_col).alias("b"),
+                          F.col(vec_col).cast("array<double>").alias("bvec"))
+    if mode == "lsh":
+        tb = t.withColumn("bucket", bucket_key_col(F.col("avec")))
+        probes = F.array(F.col("qbucket"),
+                         *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
+        ub = (u.withColumn("qbucket", bucket_key_col(F.col("bvec")))
+               .withColumn("bucket", F.explode(probes)).drop("qbucket"))
+        cand = (tb.join(ub, "bucket").filter(F.col("a") < F.col("b"))
+                .select("a", "b", "avec", "bvec").distinct())
+    elif mode == "exact":
+        cand = t.join(u, F.col("a") < F.col("b"))
+    else:
+        raise ValueError("mode must be 'lsh' or 'exact'")
+    cos = _dot(F.col("avec"), F.col("bvec")) / \
+        F.sqrt(_norm2(F.col("avec")) * _norm2(F.col("bvec")))
+    return (cand.withColumn("cosine", cos)
+            .filter(F.col("cosine") * den >= F.lit(num))
+            .select("a", "b"))
+
+
+def near_dup_pairs_sql(table: str, threshold: tuple[int, int] = (19, 20),
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       mode: str = "lsh") -> str:
+    """DuckDB twin of :func:`near_dup_pairs` (same buckets, same rescore)."""
+    num, den = threshold
+    cos = ("list_sum(list_transform(range(len(avec)), i -> avec[i + 1] * bvec[i + 1]))"
+           " / sqrt(list_sum(list_transform(avec, x -> x * x))"
+           " * list_sum(list_transform(bvec, x -> x * x)))")
+    if mode == "lsh":
+        probes = ", ".join(["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(N_PLANES)])
+        cand = f"""
+t AS (SELECT {id_col} AS a, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS avec
+      FROM {table}),
+tb AS (SELECT a, avec, {_bucket_sql('avec')}::BIGINT AS bucket FROM t),
+u AS (SELECT {id_col} AS b, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS bvec
+      FROM {table}),
+qb AS (SELECT b, bvec, {_bucket_sql('bvec')}::BIGINT AS qbucket FROM u),
+ub AS (SELECT b, bvec, unnest([{probes}]) AS bucket FROM qb),
+cand AS (SELECT DISTINCT a, b, avec, bvec
+         FROM tb JOIN ub USING (bucket) WHERE a < b)"""
+    else:
+        cand = f"""
+cand AS (
+  SELECT x.{id_col} AS a, y.{id_col} AS b,
+         list_transform(x.{vec_col}, v -> CAST(v AS DOUBLE)) AS avec,
+         list_transform(y.{vec_col}, v -> CAST(v AS DOUBLE)) AS bvec
+  FROM {table} x JOIN {table} y ON x.{id_col} < y.{id_col})"""
+    return f"""
+WITH {cand}
+SELECT a, b FROM cand WHERE ({cos}) * {den} >= {num}
+"""
+
+
 def _plane_component_sql(plane: int, dim_expr: str) -> str:
     return (f"(CAST('0x' || substr(md5('{plane}:' || CAST({dim_expr} AS VARCHAR)), 1, 8) "
             f"AS BIGINT) % 2000003 - 1000001.5e0) / 1000001.5e0")

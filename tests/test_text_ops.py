@@ -97,6 +97,30 @@ def test_cosine_topk(spark, sf_dir):
     assert got == exp
 
 
+def test_near_dup_exact_vs_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup: exact mode finds every injected duplicate;
+    the LSH-bucketed mode returns a subset with usable recall."""
+    from polycheck_spark.operators.similarity import near_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pert = (F.concat(
+        F.array((F.element_at(F.col("embedding"), 1) + F.lit(0.25)).cast("float")),
+        F.slice(F.col("embedding"), 2, F.size(F.col("embedding")) - 1)))
+    dups = (emb.filter(F.col("vec_id") % 50 == 0)
+            .select((F.col("vec_id") + 100_000).alias("vec_id"),
+                    pert.alias("embedding")))
+    both = emb.select("vec_id", "embedding").unionByName(dups)
+    n_injected = dups.count()
+    exact = {(r["a"], r["b"]) for r in
+             near_dup_pairs(both, (3, 5), mode="exact").collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           near_dup_pairs(both, (3, 5), mode="lsh").collect()}
+    injected = {(r["vec_id"], r["vec_id"] + 100_000)
+                for r in emb.filter(F.col("vec_id") % 50 == 0).collect()}
+    assert injected <= exact                      # exact mode: recall 1
+    assert lsh <= exact                           # lsh: subset of true pairs
+    assert len(lsh & injected) >= 0.6 * n_injected  # usable recall
+
+
 def test_lsh_ann_plumbing_on_testdata(spark, sf_dir):
     """On unstructured random embeddings LSH recall is inherently weak; here
     we assert the pipeline shape: valid ranks, no self-matches, sane size."""
