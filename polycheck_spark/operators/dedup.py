@@ -50,14 +50,23 @@ def _shingles(docs: DataFrame, id_col: str, text_col: str,
     ``distinct=True`` (set semantics) is required by Jaccard counting;
     MinHash passes ``distinct=False`` because min-aggregation is
     duplicate-insensitive — skipping the dedup saves a full shuffle on the
-    dominant (shingle) table."""
-    toks = tokens_col(F.col(text_col))
+    dominant (shingle) table.
+
+    The token array is bound to a NAMED column before the gram transform:
+    an expression tree referenced inside a higher-order-function lambda is
+    re-evaluated per array element, so inlining ``split(lower(text))`` there
+    makes shingling O(tokens^2 * len) per doc (measured 5-6s vs 0.5s at
+    sf0.1). Multiple static references to the alias also stop
+    CollapseProject from re-inlining it."""
+    toked = docs.select(F.col(id_col).alias("id"),
+                        tokens_col(F.col(text_col)).alias("toks"))
+    t = F.col("toks")
     grams = F.when(
-        F.size(toks) >= NGRAM,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - NGRAM),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, NGRAM)))
+        F.size(t) >= NGRAM,
+        F.transform(F.sequence(F.lit(0), F.size(t) - NGRAM),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, NGRAM)))
     ).otherwise(F.array().cast("array<string>"))
-    out = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+    out = toked.select("id", F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 
