@@ -148,13 +148,17 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
     u = embeddings.select(F.col(id_col).alias("b"),
                           F.col(vec_col).cast("array<double>").alias("bvec"))
     if mode == "lsh":
-        tb = t.withColumn("bucket", bucket_key_col(F.col("avec")))
+        # bucket join + dedup carry IDS ONLY (the multiprobe duplicates a
+        # pair up to N_PLANES+1 times; shuffling 2x64 doubles through that
+        # distinct would dominate at scale) — vectors rejoin by id after
+        tb = t.select("a", bucket_key_col(F.col("avec")).alias("bucket"))
         probes = F.array(F.col("qbucket"),
                          *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
-        ub = (u.withColumn("qbucket", bucket_key_col(F.col("bvec")))
+        ub = (u.select("b", bucket_key_col(F.col("bvec")).alias("qbucket"))
                .withColumn("bucket", F.explode(probes)).drop("qbucket"))
-        cand = (tb.join(ub, "bucket").filter(F.col("a") < F.col("b"))
-                .select("a", "b", "avec", "bvec").distinct())
+        cand_ids = (tb.join(ub, "bucket").filter(F.col("a") < F.col("b"))
+                    .select("a", "b").distinct())
+        cand = cand_ids.join(t, "a").join(u, "b")
     elif mode == "exact":
         cand = t.join(u, F.col("a") < F.col("b"))
     else:
