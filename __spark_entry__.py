@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship PIP spatial join on sf0.001.
 ``queries()``   — one entry per implemented operator (SURVEY.md §2).
-``oracle_sql()``— a DuckDB twin for EVERY query (34/34): iterative ray walks
+``oracle_sql()``— a DuckDB twin for EVERY query: iterative ray walks
                   run as recursive-CTE float32 twins
                   (polycheck_spark/data/walk_oracles.py) and the LSH paths use
                   md5-derived plane/band hashes both engines compute
@@ -527,6 +527,50 @@ def q_events_sessionize(spark, sf_dir):
             .orderBy("user_id", "session_no"))
 
 
+# --- composite cross-operator pipelines --------------------------------------
+
+def q_polygon_quality(spark, sf_dir):
+    """Geo x text composition: PIP join -> per-polygon text-quality rollup
+    (integer evidence sums — drift-free across engines)."""
+    joined = PJ.pip_join(spark, _docs_points(spark, sf_dir), _LAYER, key_col="doc_id")
+    q = TX.quality_scores(_docs(spark, sf_dir))
+    return (joined.select("doc_id", "polygon_id").join(q, "doc_id")
+            .groupBy("polygon_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"),
+                 F.sum("stopword_hits").cast("long").alias("sum_stopword_hits"))
+            .orderBy("polygon_id"))
+
+
+def q_tile_events_hourly(spark, sf_dir):
+    """Time x geo rollup: events geocoded by user_id -> coarse tile x hour x
+    type counts + exact value sums (decimal accumulate, double render)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon, lat = synth.geocode_arith_cols(F.col("user_id"))
+    tiled = PJ.assign_tiles(
+        ev.select("event_id", "event_type", "value", "ts",
+                  lon.alias("lon"), lat.alias("lat")), res=DENSITY_RES)
+    hour_id = F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(3600_000))
+    return (tiled.withColumn("hour_id", hour_id)
+            .groupBy("cell_id", "hour_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"))
+            .orderBy("cell_id", "hour_id", "event_type"))
+
+
+def q_events_json(spark, sf_dir):
+    """JSON extraction: pull props.k (JVM get_json_object), per-type integer
+    rollup."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.max("k").cast("long").alias("max_k"))
+            .orderBy("event_type"))
+
+
 def q_set_ops(spark, sf_dir):
     """Anti-join set op: customers with no orders."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -582,6 +626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_agg": q_broadcast_join_agg,
         "window_topk": q_window_topk,
         "events_sessionize": q_events_sessionize,
+        "polygon_quality": q_polygon_quality,
+        "tile_events_hourly": q_tile_events_hourly,
+        "events_json": q_events_json,
         "set_ops": q_set_ops,
         "distinct_tiles_per_lang": q_distinct_tiles_per_lang,
     }
@@ -694,6 +741,28 @@ sess AS (
 )
 SELECT user_id, session_no, COUNT(*) AS n_events
 FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+        "polygon_quality": (
+            f"WITH pipres AS ({pip}), q AS ({TX.quality_scores_sql('documents')}) "
+            f"SELECT polygon_id, COUNT(*) AS n_docs, "
+            f"CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, "
+            f"CAST(SUM(stopword_hits) AS BIGINT) AS sum_stopword_hits "
+            f"FROM pipres JOIN q ON q.doc_id = pipres.point_id "
+            f"GROUP BY 1 ORDER BY 1"),
+        "tile_events_hourly": f"""
+WITH pts AS (SELECT event_id, event_type, value,
+                    epoch_ms(ts) // 3600000 AS hour_id,
+                    {synth.geocode_arith_sql('user_id')[0]} AS lon,
+                    {synth.geocode_arith_sql('user_id')[1]} AS lat
+             FROM events)
+SELECT {C.cell_id_sql('lon', 'lat', DENSITY_RES)} AS cell_id, hour_id, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM pts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "events_json": """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1 ORDER BY 1""",
         "set_ops": """
 SELECT c_custkey FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY 1""",
