@@ -416,11 +416,15 @@ def q_media_metadata(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     m = F.md5(F.col("doc_id").cast("string"))
     r6 = F.pmod(F.col("doc_id"), F.lit(6))
-    r3 = F.pmod(F.col("doc_id"), F.lit(3))
+    # subtype selector must be independent of doc_id % 6 (doc_id % 3 is
+    # constant 1 on the r6 == 1 branch) and the fake size field must be
+    # exactly 4 BYTES so the subtype lands at bytes 9-12 where the sniffer
+    # reads it — both were review findings
+    r3 = F.pmod(F.floor(F.col("doc_id") / F.lit(6)), F.lit(3))
     riff_sub = (F.when(r3 == 0, F.lit(_RIFF_SUB_STRS[0]))
                  .when(r3 == 1, F.lit(_RIFF_SUB_STRS[1]))
                  .otherwise(F.lit(_RIFF_SUB_STRS[2])))
-    p = (F.when(r6 == 1, F.concat(F.lit("RIFF"), F.substring(m, 1, 8), riff_sub, m))
+    p = (F.when(r6 == 1, F.concat(F.lit("RIFF"), F.substring(m, 1, 4), riff_sub, m))
           .otherwise(F.concat(
               *[F.when(r6 == i, F.lit(pre)).otherwise(F.lit(""))
                 for i, pre in enumerate(_MEDIA_PREFIXES) if pre], m)))
@@ -441,11 +445,11 @@ def _media_metadata_oracle() -> str:
     return f"""
 WITH hx AS (
   SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m,
-         doc_id % 6 AS r6, doc_id % 3 AS r3
+         doc_id % 6 AS r6, (doc_id // 6) % 3 AS r3
   FROM documents),
 px AS (
   SELECT doc_id,
-         CASE WHEN r6 = 1 THEN 'RIFF' || substr(m, 1, 8) ||
+         CASE WHEN r6 = 1 THEN 'RIFF' || substr(m, 1, 4) ||
                    (CASE {subs} ELSE '{_RIFF_SUB_STRS[2]}' END) || m
               {prefix_cases}
               ELSE m END AS p

@@ -21,6 +21,8 @@ import math
 
 import numpy as np
 
+from polycheck_spark.data.walk_oracles import _lit as _flit
+
 # --- golden fixtures (reference coordinates, [-8, 8] space) ---------------
 
 GOLDEN_POLYGONS: dict[str, list[tuple[float, float]]] = {
@@ -123,12 +125,6 @@ def layer_to_csr(layer: list[dict]):
     verts, offsets = pack_polygons_csr([p["vertices"] for p in layer])
     ids = np.asarray([p["polygon_id"] for p in layer], dtype=np.int64)
     return verts, offsets, ids
-
-
-def _flit(v: float) -> str:
-    """17-digit scientific literal: parses directly as DOUBLE (bare decimal
-    literals parse as DECIMAL first and double-round on conversion)."""
-    return f"{v:.17e}"
 
 
 def edges_values_sql(layer: list[dict]) -> str:

@@ -71,6 +71,16 @@ class CheckpointedWriter:
     def is_staged(self, name: str) -> bool:
         return os.path.exists(self._stage_marker_path(name))
 
+    def staged_record(self, name: str) -> dict | None:
+        """The marker's record, or None if this stage never completed —
+        callers compare it against their CURRENT parameters so a resume with
+        different arguments re-stages instead of reusing stale data."""
+        try:
+            with open(self._stage_marker_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     def mark_staged(self, name: str, record: dict) -> None:
         """Atomic marker for a write-once staging step (e.g. the bucketed
         source materialization): killed mid-stage -> no marker -> re-stage;

@@ -36,14 +36,17 @@ def run_job(spark, num_pages: int, n_buckets: int, out_dir: str,
     # bucket is provably non-nullable (pmod of a hash) so the partition
     # filter below prunes directories instead of re-evaluating expressions.
     staged_dir = os.path.join(out_dir, "_staged_pages")
-    if not writer.is_staged(STAGE):
+    stage_params = {"pages": num_pages, "buckets": n_buckets, "path": staged_dir}
+    # the marker is only valid for the SAME job parameters: resuming with a
+    # different page count or bucket count against stale staged data would
+    # silently drop every row outside the old bucket range
+    if writer.staged_record(STAGE) != stage_params:
         pages = synth.geocoded_pages(spark, num_pages)
         (pages.withColumn(
             "bucket",
             F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"))
          .write.mode("overwrite").partitionBy("bucket").parquet(staged_dir))
-        writer.mark_staged(STAGE, {"pages": num_pages, "buckets": n_buckets,
-                                   "path": staged_dir})
+        writer.mark_staged(STAGE, stage_params)
 
     def build_bucket(k: int):
         bucket = (spark.read.parquet(staged_dir)

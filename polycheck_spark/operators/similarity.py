@@ -51,6 +51,13 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
             .select("query_id", "target_id", "rank"))
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """Engine-parity cosine in DuckDB SQL (single source for every twin)."""
+    return (f"list_sum(list_transform(range(len({a})), i -> {a}[i + 1] * {b}[i + 1]))"
+            f" / sqrt(list_sum(list_transform({a}, x -> x * x))"
+            f" * list_sum(list_transform({b}, x -> x * x)))")
+
+
 def cosine_topk_sql(table: str, queries_filter: str, k: int,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> str:
     """DuckDB twin using explicit per-element sums (same math as zip_with)."""
@@ -61,10 +68,7 @@ q AS (SELECT {id_col} AS query_id,
              list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qvec
       FROM {table} WHERE {queries_filter}),
 scored AS (
-  SELECT q.query_id, t.target_id,
-         list_sum(list_transform(range(len(qvec)), i -> qvec[i + 1] * tvec[i + 1]))
-           / sqrt(list_sum(list_transform(qvec, x -> x * x))
-                  * list_sum(list_transform(tvec, x -> x * x))) AS cosine
+  SELECT q.query_id, t.target_id, {_cos_sql("qvec", "tvec")} AS cosine
   FROM t JOIN q ON t.target_id <> q.query_id
 ),
 ranked AS (
@@ -175,9 +179,7 @@ def near_dup_pairs_sql(table: str, threshold: tuple[int, int] = (19, 20),
                        mode: str = "lsh") -> str:
     """DuckDB twin of :func:`near_dup_pairs` (same buckets, same rescore)."""
     num, den = threshold
-    cos = ("list_sum(list_transform(range(len(avec)), i -> avec[i + 1] * bvec[i + 1]))"
-           " / sqrt(list_sum(list_transform(avec, x -> x * x))"
-           " * list_sum(list_transform(bvec, x -> x * x)))")
+    cos = _cos_sql("avec", "bvec")
     if mode == "lsh":
         probes = ", ".join(["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(N_PLANES)])
         cand = f"""
@@ -232,10 +234,7 @@ q AS (SELECT {id_col} AS query_id,
 qb AS (SELECT query_id, qvec, {_bucket_sql('qvec')}::BIGINT AS qbucket FROM q),
 probes AS (SELECT query_id, qvec, unnest([{probes}]) AS bucket FROM qb),
 scored AS (
-  SELECT DISTINCT query_id, target_id,
-         list_sum(list_transform(range(len(qvec)), i -> qvec[i + 1] * tvec[i + 1]))
-           / sqrt(list_sum(list_transform(qvec, x -> x * x))
-                  * list_sum(list_transform(tvec, x -> x * x))) AS cosine
+  SELECT DISTINCT query_id, target_id, {_cos_sql("qvec", "tvec")} AS cosine
   FROM tb JOIN probes USING (bucket)
   WHERE target_id <> query_id
 ),

@@ -115,7 +115,10 @@ def stream_dedup_exact(spark: SparkSession, source_dir: str, *,
 
     def dedup(key, pdfs, state):
         import pandas as pd
-        order = list(state.get[0]) if state.exists else []
+        # truncate on load too: state written by an earlier full-digest
+        # version migrates transparently instead of never matching again
+        order = ([e[:DEDUP_DIGEST_CHARS] for e in state.get[0]]
+                 if state.exists else [])
         seen = set(order)
         # materialize ALL chunks before sorting: the (md5, url)-smallest row
         # must win across the whole micro-batch, not per Arrow chunk
