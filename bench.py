@@ -82,6 +82,33 @@ def bench_faux_scan(spark, num_rays: int) -> tuple[float, int]:
     return best, hits
 
 
+def bench_sensor_coverage(spark, hw: int = 256, n_sensors: int = 8) -> tuple[float, int]:
+    """Sensor coverage map (O5+O8): hw x hw grid x n_sensors pair walks
+    through the lockstep sum-walk kernel, union combine. Warm best-of-2
+    (the first run pays whole-stage codegen for the trig gates)."""
+    import math
+    from polycheck_spark.operators.visibility import sensor_visibility_df
+    rng = np.random.RandomState(3)
+    g = np.zeros((hw, hw), dtype=np.float32)
+    m = rng.rand(hw, hw) < 0.05
+    g[m] = rng.rand(m.sum()).astype(np.float32)
+    sensors = [(i, float(rng.randint(0, hw)), float(rng.randint(0, hw)),
+                float(hw) * 0.3, float(rng.uniform(-3, 3)), 2 * math.pi)
+               for i in range(n_sensors)]
+    sdf = spark.createDataFrame(
+        sensors,
+        "sensor_id int, x double, y double, range double, direction double, fov double")
+    best = None
+    for _ in range(3):  # first run = codegen warmup
+        t0 = time.time()
+        _, comb = sensor_visibility_df(spark, g, sdf, "union")
+        n = comb.count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    assert n == hw * hw
+    return best, hw * hw * n_sensors
+
+
 def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,6 +134,11 @@ def main():
     queries["faux_scan_1m"] = round(scan_sec, 3)
     scan_rays_per_sec = num_rays / scan_sec
 
+    # sensor coverage map: 524k (sensor, cell) sum walks + union combine
+    cov_sec, cov_pairs = bench_sensor_coverage(spark)
+    queries["sensor_coverage_256"] = round(cov_sec, 3)
+    sensor_pairs_per_sec = cov_pairs / cov_sec
+
     # representative operator queries on the sf tables
     import __spark_entry__ as E
     qs = E.queries()
@@ -130,6 +162,7 @@ def main():
         "kernel_pip_pts_per_sec": round(kernel_pps),
         "scan_rays_per_sec": round(scan_rays_per_sec),
         "scan_hits": scan_hits,
+        "sensor_pairs_per_sec": round(sensor_pairs_per_sec),
         "cpus": cpus,
     }))
     spark.stop()

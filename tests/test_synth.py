@@ -46,3 +46,23 @@ def test_html_embeds_text_bytes(spark):
     rows = synth.generate_pages(spark, 20).collect()
     for r in rows:
         assert r["text"].encode("utf-8") in bytes(r["html"])
+
+
+def test_source_format_roundtrip(spark, sf_dir, tmp_path):
+    """Source breadth: the same table round-trips through JSON lines (full
+    rows, arbitrary text) and CSV (scalar columns) without value drift."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).cache()
+    ref = sorted((r["doc_id"], r["text"], r["lang"]) for r in docs.collect())
+
+    jdir = str(tmp_path / "docs_json")
+    docs.write.mode("overwrite").json(jdir)
+    back_j = spark.read.json(jdir)
+    got_j = sorted((r["doc_id"], r["text"], r["lang"]) for r in back_j.collect())
+    assert got_j == ref
+
+    cdir = str(tmp_path / "docs_csv")
+    docs.select("doc_id", "lang").write.mode("overwrite") \
+        .option("header", True).csv(cdir)
+    back_c = spark.read.option("header", True).option("inferSchema", True).csv(cdir)
+    got_c = sorted((r["doc_id"], r["lang"]) for r in back_c.collect())
+    assert got_c == sorted((r["doc_id"], r["lang"]) for r in docs.collect())
