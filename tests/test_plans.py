@@ -1,0 +1,79 @@
+"""Physical-plan invariants for the flagship queries.
+
+Round 1 found a real 15x regression caused purely by plan shape (a nullable
+derived join key made Catalyst re-evaluate the whole geocode+Morton tree per
+row under a pushed isnotnull). These tests pin the plan properties that
+matter at 100 TB — broadcast joins where the build side is small, pushed
+filters and pruned columns at the scan, no pathological isnotnull(CASE...)
+trees — so they fail loudly instead of silently costing a scale factor."""
+
+import pytest
+
+import __spark_entry__ as E
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_join_probe_is_broadcast_and_key_nonnullable(spark, sf_dir):
+    plan = _plan(E.q_pip_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # the round-1 pathology: a pushed isnotnull over a big derived CASE tree
+    assert "isnotnull(CASE WHEN" not in plan, plan
+    # probe side must not cartesian
+    assert "CartesianProduct" not in plan
+
+
+def _scan_columns(plan: str) -> str:
+    # "FileScan parquet [colA#1,colB#2,...]" — ReadSchema gets truncated in
+    # toString(), the bracketed output list does not
+    return plan.split("FileScan parquet ", 1)[1].split("]", 1)[0]
+
+
+def test_agg_lineitem_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(E.q_agg_lineitem(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    # only the 5 needed columns reach the scan
+    cols = _scan_columns(plan)
+    for col in ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_shipdate"]:
+        assert col in cols, cols
+    for col in ["l_orderkey", "l_partkey", "l_discount", "l_tax"]:
+        assert col not in cols, cols
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tile_events_hourly_prunes_unused_columns(spark, sf_dir):
+    plan = _plan(E.q_tile_events_hourly(spark, sf_dir))
+    cols = _scan_columns(plan)
+    for col in ["ts", "user_id", "event_type", "value"]:
+        assert col in cols, cols
+    assert "props" not in cols, cols          # JSON column not read
+    assert "event_id" not in cols, cols       # selected mid-pipeline but unused
+
+
+def test_raster_lookup_broadcasts_raster(spark, sf_dir):
+    plan = _plan(E.q_raster_lookup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_near_dup_bucket_join_not_cartesian(spark, sf_dir):
+    plan = _plan(E.q_near_dup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_path_stays_jvm_side(spark, sf_dir):
+    """Text ops must stay JVM-side: no Python evaluation node anywhere.
+
+    (WholeStageCodegen markers only appear in AQE's FINAL plan after
+    execution, so absence-of-Python is the reliable pre-execution check.)"""
+    for q in ("q_token_counts", "q_quality_scores", "q_lang_id",
+              "q_fingerprints", "q_simhash"):
+        plan = _plan(getattr(E, q)(spark, sf_dir))
+        assert "ArrowEvalPython" not in plan, q
+        assert "BatchEvalPython" not in plan, q
+        assert "PythonUDF" not in plan, q
