@@ -84,8 +84,8 @@ def bench_faux_scan(spark, num_rays: int) -> tuple[float, int]:
 
 def bench_sensor_coverage(spark, hw: int = 256, n_sensors: int = 8) -> tuple[float, int]:
     """Sensor coverage map (O5+O8): hw x hw grid x n_sensors pair walks
-    through the lockstep sum-walk kernel, union combine. Warm best-of-2
-    (the first run pays whole-stage codegen for the trig gates)."""
+    through the lockstep sum-walk kernel, union combine. Best of 3 runs
+    (the first pays whole-stage codegen for the trig gates)."""
     import math
     from polycheck_spark.operators.visibility import sensor_visibility_df
     rng = np.random.RandomState(3)

@@ -74,22 +74,45 @@ class CheckpointedWriter:
     def staged_record(self, name: str) -> dict | None:
         """The marker's record, or None if this stage never completed —
         callers compare it against their CURRENT parameters so a resume with
-        different arguments re-stages instead of reusing stale data."""
+        different arguments re-stages instead of reusing stale data.
+        A corrupt/empty marker (possible after power loss) reads as None so
+        the job self-heals by re-staging instead of crashing forever."""
         try:
             with open(self._stage_marker_path(name)) as f:
                 return json.load(f)
-        except FileNotFoundError:
+        except (FileNotFoundError, json.JSONDecodeError):
             return None
 
+    def clear_stage(self, name: str) -> None:
+        """Tombstone the stage marker BEFORE overwriting staged data: a crash
+        mid-overwrite must read as 'never staged', not as the old record."""
+        try:
+            os.remove(self._stage_marker_path(name))
+        except FileNotFoundError:
+            pass
+
     def mark_staged(self, name: str, record: dict) -> None:
-        """Atomic marker for a write-once staging step (e.g. the bucketed
-        source materialization): killed mid-stage -> no marker -> re-stage;
-        marker present -> every resume reads the staged data instead of
-        rescanning the source."""
+        """Atomic + durable marker for a write-once staging step: killed
+        mid-stage -> no marker -> re-stage; marker present -> every resume
+        reads the staged data instead of rescanning the source."""
         tmp = self._stage_marker_path(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._stage_marker_path(name))
+
+    def reset_lineage(self) -> None:
+        """Invalidate every bucket completion marker and output directory —
+        required when job PARAMETERS change: bucket markers are
+        parameter-insensitive, so resuming a differently-parameterized job
+        over old lineage would silently return the old job's output."""
+        for b in self.completed_buckets():
+            os.remove(self._marker_path(b))
+        import shutil
+        for name in os.listdir(self.out_dir):
+            if name.startswith("bucket="):
+                shutil.rmtree(os.path.join(self.out_dir, name), ignore_errors=True)
 
     # -- the resumable run loop ----------------------------------------------
 

@@ -37,10 +37,15 @@ def run_job(spark, num_pages: int, n_buckets: int, out_dir: str,
     # filter below prunes directories instead of re-evaluating expressions.
     staged_dir = os.path.join(out_dir, "_staged_pages")
     stage_params = {"pages": num_pages, "buckets": n_buckets, "path": staged_dir}
-    # the marker is only valid for the SAME job parameters: resuming with a
-    # different page count or bucket count against stale staged data would
-    # silently drop every row outside the old bucket range
+    # markers are only valid for the SAME job parameters: a resume with a
+    # different page/bucket count over stale staged data or stale bucket
+    # markers would silently return the old job's rows. Order matters — the
+    # old marker is tombstoned BEFORE the overwrite so a crash mid-overwrite
+    # reads as "never staged", and the whole bucket lineage is invalidated
+    # with it (bucket markers are parameter-insensitive).
     if writer.staged_record(STAGE) != stage_params:
+        writer.clear_stage(STAGE)
+        writer.reset_lineage()
         pages = synth.geocoded_pages(spark, num_pages)
         (pages.withColumn(
             "bucket",

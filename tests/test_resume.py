@@ -63,6 +63,24 @@ def test_job_stages_source_once_and_prunes(spark, tmp_path):
     assert os.path.getmtime(os.path.join(out_dir, "_lineage", "stage_pages.json")) == mtime
 
 
+def test_param_change_invalidates_lineage(spark, tmp_path):
+    """Re-running with different parameters must rebuild everything —
+    parameter-insensitive bucket markers must not resurrect old output."""
+    import os
+    out_dir = str(tmp_path / "job")
+    small = run_job(spark, 1000, 4, out_dir)
+    big = run_job(spark, 3000, 4, out_dir)
+    assert sorted(big["run"]["processed"]) == [0, 1, 2, 3]  # nothing skipped
+    assert big["snapshot"]["total_rows"] > small["snapshot"]["total_rows"]
+    fresh = run_job(spark, 3000, 4, str(tmp_path / "fresh"))
+    assert big["snapshot"]["row_counts"] == fresh["snapshot"]["row_counts"]
+    # corrupt (empty) stage marker self-heals by re-staging
+    marker = os.path.join(out_dir, "_lineage", "stage_pages.json")
+    open(marker, "w").close()
+    again = run_job(spark, 3000, 4, out_dir)
+    assert again["snapshot"]["row_counts"] == fresh["snapshot"]["row_counts"]
+
+
 def test_lineage_metrics_recorded(spark, tmp_path):
     out_dir = str(tmp_path / "job")
     run_job(spark, 1000, 3, out_dir)
