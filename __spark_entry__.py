@@ -327,6 +327,13 @@ _O6_SENSORS = [(0, -0.75, -0.5, 2.0, 0.0, 2 * _math.pi),
 _SU_SENSORS = [(0, 0.0, 3.0, 20.0, 0.0, 2 * _math.pi),
                (1, 3.0, 0.0, 20.0, _math.pi / 2, 2 * _math.pi)]
 
+# FOV-gated instance (O5+O9 with real field-of-view dispatch): quarter- and
+# two-thirds-circle sensors with finite ranges — oracle-exact because the
+# grid oracle looks bearings up from precomputed NumPy float32 atan2 values
+_SF_SENSORS = [(0, 1.0, 1.0, 4.0, 0.0, _math.pi / 2),
+               (1, 4.0, 4.0, 3.0, _math.pi, 2 * _math.pi / 3),
+               (2, 2.0, 5.0, 2.5, -_math.pi / 2, _math.pi / 3)]
+
 _FS_POLY_NAMES = ("triangle", "square2")
 _FS_ARGS = ((0.0, 0.0), 0.0, _math.pi / 180.0, 360, 10.0, 0.1)
 
@@ -377,6 +384,17 @@ def q_sensor_union(spark, sf_dir):
         _SU_SENSORS,
         "sensor_id int, x double, y double, range double, direction double, fov double")
     _, combined = sensor_visibility_df(spark, g, sensors, "union")
+    return combined.select("ex", "ey", "p").orderBy("ey", "ex")
+
+
+def q_sensor_fov_grid(spark, sf_dir):
+    """Grid sensors with REAL field-of-view gating (O5 + O9): quarter/partial
+    FOVs and finite ranges, union combine."""
+    from polycheck_spark.operators.visibility import sensor_visibility_df
+    sensors = spark.createDataFrame(
+        _SF_SENSORS,
+        "sensor_id int, x double, y double, range double, direction double, fov double")
+    _, combined = sensor_visibility_df(spark, _su_grid(), sensors, "union")
     return combined.select("ex", "ey", "p").orderBy("ey", "ex")
 
 
@@ -622,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visibility_region": q_visibility_region,
         "visibility_real_region": q_visibility_real_region,
         "sensor_union": q_sensor_union,
+        "sensor_fov_grid": q_sensor_fov_grid,
         "sensor_product_real": q_sensor_product_real,
         "faux_scan": q_faux_scan,
         "media_metadata": q_media_metadata,
@@ -706,6 +725,7 @@ ORDER BY c.row, c.col""",
             [(a, b, c, d) for (a, b) in _O4_STARTS for (c, d) in _O4_ENDS],
             "product", _O4_MAX_RANGE),
         "sensor_union": WO.sensor_grid_oracle_sql(_su_grid(), _SU_SENSORS, "union"),
+        "sensor_fov_grid": WO.sensor_grid_oracle_sql(_su_grid(), _SF_SENSORS, "union"),
         "sensor_product_real": WO.sensor_real_oracle_sql(
             _o6_grid(), _O6_SENSORS, _O6_ORIGIN, _O6_RES, "product"),
         "faux_scan": WO.faux_scan_oracle_sql(

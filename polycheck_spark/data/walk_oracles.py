@@ -395,11 +395,16 @@ def _eps_round_sql(x: str) -> str:
             f"ELSE CAST(TRUNC({x}) AS INT) END")
 
 
-def _fov_gate_sql(gdx: str, gdy: str) -> str:
+def _fov_gate_sql(gdx: str, gdy: str, bearing: str | None = None) -> str:
     """kernel.in_sensor_fov twin over float32-exact gdx/gdy exprs and sensor
-    columns (rng, drn, fov).  atan2 runs in double then casts to float32
-    (double-rounding caveat in the module docstring); the golden instances
-    use full-circle FOV so the bearing branch is inert."""
+    columns (rng, drn, fov).
+
+    ``bearing``: float32-exact bearing expression. The grid regime passes a
+    lookup over precomputed NumPy float32 atan2 values (NumPy's f32 atan2 is
+    NOT the double-rounded result — measured divergent on 39% of integer
+    offsets — so live SQL trig cannot match it). When None, double atan2
+    cast to float32 is used, which is only safe for full-circle-FOV
+    instances (the real-regime caveat in the module docstring)."""
     d2 = (f"CAST(CAST(({gdx})*({gdx}) AS FLOAT) "
           f"+ CAST(({gdy})*({gdy}) AS FLOAT) AS FLOAT)")
     gdist = f"CAST(SQRT({d2}) AS FLOAT)"
@@ -407,7 +412,9 @@ def _fov_gate_sql(gdx: str, gdy: str) -> str:
     has_fov = f"(fov > 0.0 AND fov < {_lit(2.0 * math.pi - 1e-6)})"
     at_origin = (f"(ABS({gdx}) <= {_lit(FLT_EPS)} "
                  f"AND ABS({gdy}) <= {_lit(FLT_EPS)})")
-    ang = (f"CAST(CAST(CAST(ATAN2({gdy}, {gdx}) AS FLOAT) "
+    if bearing is None:
+        bearing = f"CAST(ATAN2({gdy}, {gdx}) AS FLOAT)"
+    ang = (f"CAST(CAST(({bearing}) "
            f"- CAST(drn AS FLOAT) AS FLOAT) AS DOUBLE)")
     wrapped = (f"((({ang}) + {PI}) % {TWO_PI} + {TWO_PI}) % {TWO_PI} - {PI}")
     delta = f"CAST(ABS({wrapped}) AS FLOAT)"
@@ -456,11 +463,27 @@ def sensor_grid_oracle_sql(grid, sensors, combine: str = "union") -> str:
     h, w = g.shape
     sv = _vals((int(s[0]), float(s[1]), float(s[2]), float(s[3]),
                 float(s[4]), float(s[5])) for s in sensors)
-    gate = _fov_gate_sql("CAST(ex - scx AS DOUBLE)", "CAST(ey - scy AS DOUBLE)")
+    # exact float32 bearings for every (cell - sensor-cell) integer offset,
+    # precomputed with the SAME NumPy f32 atan2 the kernel uses (f32 atan2
+    # is not SQL-reproducible) — enables real FOV-gated instances
+    from polycheck_spark.geo.kernel import epsilon_round
+    offs = set()
+    for s_row in sensors:
+        scx, scy = epsilon_round(float(s_row[1])), epsilon_round(float(s_row[2]))
+        for ey in range(h):
+            for ex in range(w):
+                offs.add((ex - scx, ey - scy))
+    brg = _vals((dx, dy, float(np.arctan2(np.float32(dy), np.float32(dx))))
+                for dx, dy in sorted(offs))
+    bearing = ("(SELECT b FROM brg WHERE brg.bdx = ex - scx "
+               "AND brg.bdy = ey - scy)")
+    gate = _fov_gate_sql("CAST(ex - scx AS DOUBLE)", "CAST(ey - scy AS DOUBLE)",
+                         bearing)
     covered = _covered_sql("CAST(ex AS DOUBLE) - scx", "CAST(ey AS DOUBLE) - scy",
                            "ex = scx AND ey = scy")
     return f"""
-WITH RECURSIVE sensors(sensor_id, x, y, rng, drn, fov) AS (VALUES {sv}),
+WITH RECURSIVE brg(bdx, bdy, b) AS (VALUES {brg}),
+sensors(sensor_id, x, y, rng, drn, fov) AS (VALUES {sv}),
 grid(row, col, occ) AS (VALUES {grid_values(g)}),
 spairs AS (
   SELECT sensor_id * {h * w} + g.row * {w} + g.col AS pair_id,
