@@ -263,6 +263,15 @@ WITH emb_both AS (
 SELECT a, b FROM ({inner}) ORDER BY a, b"""
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (inverted-list scale path, oracle-exact)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return (SIM.ivf_topk(emb, q, KNN_K)
+            .select("query_id", "target_id", F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % 25 == 0)
@@ -635,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "near_dup": q_near_dup,
         "visibility": q_visibility,
         "visibility_region": q_visibility_region,
@@ -704,6 +714,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                        + " ORDER BY query_id, rank"),
         "ann_lsh": (SIM.lsh_bucket_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
+                    + " ORDER BY query_id, rank"),
+        "ann_ivf": (SIM.ivf_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                     + " ORDER BY query_id, rank"),
         "near_dup": _near_dup_oracle(),
         # --- ray-walk oracles (recursive-CTE float32 twins) ---

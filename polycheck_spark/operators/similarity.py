@@ -80,6 +80,96 @@ SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank 
 """
 
 
+IVF_CENTROID_MOD = 31   # deterministic coarse centroids: vec_id % MOD == 0
+IVF_NPROBE = 4
+
+
+def _assign_lists(vecs: DataFrame, cents: DataFrame, id_col: str,
+                  vec_col: str, keep: int) -> DataFrame:
+    """Nearest-centroid assignment by cosine (ties -> lowest centroid id):
+    cross join against the broadcast centroid table, rank, keep top lists."""
+    cos = _dot(F.col(vec_col), F.col("cvec")) / \
+        F.sqrt(_norm2(F.col(vec_col)) * _norm2(F.col("cvec")))
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    return (vecs.crossJoin(F.broadcast(cents))
+            .withColumn("ccos", cos)
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep)
+            .select(id_col, vec_col, F.col("cid").alias("list_id")))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_probe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-flat approximate cosine top-k — the inverted-list alternative to
+    :func:`lsh_bucket_topk`.
+
+    Coarse quantizer: the deterministic centroid subset (vec_id % 31 == 0);
+    every vector joins its single nearest list, every query probes its
+    ``n_probe`` nearest lists; candidates are rescored exactly and ranked.
+    At scale the centroid table is tiny and broadcast; the candidate join is
+    an equi-join on list_id — never an all-pairs product.  All arithmetic is
+    double (bit-identical across engines), so the whole path is
+    oracle-checkable (:func:`ivf_topk_sql`).
+    """
+    cents = embeddings.filter(F.col(id_col) % IVF_CENTROID_MOD == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cvec"))
+    t = embeddings.select(F.col(id_col).alias("target_id"),
+                          F.col(vec_col).cast("array<double>").alias("tvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    t_assigned = _assign_lists(t, cents, "target_id", "tvec", 1)
+    q_probed = _assign_lists(q, cents, "query_id", "qvec", n_probe)
+    cand = (t_assigned.join(F.broadcast(q_probed), "list_id")
+            .filter(F.col("target_id") != F.col("query_id")))
+    cos = _dot(F.col("qvec"), F.col("tvec")) / \
+        F.sqrt(_norm2(F.col("qvec")) * _norm2(F.col("tvec")))
+    scored = cand.select("query_id", "target_id", cos.alias("cosine")).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "target_id", "rank"))
+
+
+def ivf_topk_sql(table: str, queries_filter: str, k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_probe: int = IVF_NPROBE) -> str:
+    """DuckDB twin of :func:`ivf_topk` (same centroids, same assignment)."""
+    def assign(src: str, idc: str, vc: str, keep) -> str:
+        return f"""
+  SELECT {idc}, {vc}, cid AS list_id FROM (
+    SELECT s.{idc}, s.{vc}, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.{idc}
+                              ORDER BY {_cos_sql(f's.{vc}', 'c.cvec')} DESC,
+                                       c.cid ASC) AS crank
+    FROM {src} s CROSS JOIN cents c
+  ) WHERE crank <= {keep}"""
+    return f"""
+WITH cents AS (SELECT {id_col} AS cid,
+                      list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cvec
+               FROM {table} WHERE {id_col} % {IVF_CENTROID_MOD} = 0),
+t AS (SELECT {id_col} AS target_id,
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS tvec FROM {table}),
+q AS (SELECT {id_col} AS query_id,
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM {table} WHERE {queries_filter}),
+ta AS ({assign('t', 'target_id', 'tvec', 1)}),
+qa AS ({assign('q', 'query_id', 'qvec', n_probe)}),
+scored AS (
+  SELECT DISTINCT query_id, target_id, {_cos_sql('qvec', 'tvec')} AS cosine
+  FROM ta JOIN qa USING (list_id)
+  WHERE target_id <> query_id
+),
+ranked AS (
+  SELECT query_id, target_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, target_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def _plane_component(plane: int, dim_idx):
     """Deterministic pseudo-hyperplane component in [-1, 1): first 8 md5 hex
     digits of 'plane:dim' — md5 is the one hash both engines compute

@@ -155,3 +155,9 @@ def test_lsh_ann_recall_on_clustered_data(spark):
               for r in S.lsh_bucket_topk(emb, q, 5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+    # IVF-flat path on the same data: in-cluster members share the nearest
+    # centroid, so probed lists contain the true neighbors
+    ivf = {(r["query_id"], r["target_id"])
+           for r in S.ivf_topk(emb, q, 5).collect()}
+    ivf_recall = len(exact & ivf) / len(exact)
+    assert ivf_recall >= 0.8, ivf_recall
