@@ -214,6 +214,26 @@ def q_minhash_lsh(spark, sf_dir):
     return D.lsh_candidate_pairs(_docs(spark, sf_dir)).orderBy("a", "b")
 
 
+# scale-configuration twins: the SAME operators with their hot-key caps ON,
+# value-checked against oracles that mirror the cap exactly — so the
+# configuration actually run at 100 TB is driver-verified, not just the
+# exact (uncapped) small-scale setting
+JACCARD_CAP = 2   # caps chosen so they BITE at sf0.01 (results are a strict
+BAND_CAP = 2      # subset of the uncapped query) — the conservative-subset
+BUCKET_CAP = 4    # semantics is what gets value-checked, not a no-op path
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    return (D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=(1, 4),
+                                  max_doc_freq=JACCARD_CAP)
+            .orderBy("a", "b"))
+
+
+def q_minhash_lsh_capped(spark, sf_dir):
+    return (D.lsh_candidate_pairs(_docs(spark, sf_dir), max_band_freq=BAND_CAP)
+            .orderBy("a", "b"))
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir)).orderBy("id")
 
@@ -250,8 +270,25 @@ def q_near_dup(spark, sf_dir):
     return SIM.near_dup_pairs(both, NEAR_DUP_THRESH, mode="lsh").orderBy("a", "b")
 
 
-def _near_dup_oracle() -> str:
-    inner = SIM.near_dup_pairs_sql("emb_both", NEAR_DUP_THRESH, mode="lsh")
+def q_near_dup_capped(spark, sf_dir):
+    """Same near-dup pipeline with the hot-bucket cap ON (the 100-TB
+    configuration) — value-checked against a cap-mirroring oracle."""
+    emb = _emb(spark, sf_dir)
+    pert = (F.concat(
+        F.array((F.element_at(F.col("embedding"), 1) + F.lit(0.25)).cast("float")),
+        F.slice(F.col("embedding"), 2, F.size(F.col("embedding")) - 1)))
+    dups = (emb.filter(F.col("vec_id") % NEAR_DUP_MOD == 0)
+            .select((F.col("vec_id") + NEAR_DUP_OFFSET).alias("vec_id"),
+                    pert.alias("embedding")))
+    both = emb.select("vec_id", "embedding").unionByName(dups)
+    return (SIM.near_dup_pairs(both, NEAR_DUP_THRESH, mode="lsh",
+                               max_bucket_freq=BUCKET_CAP)
+            .orderBy("a", "b"))
+
+
+def _near_dup_oracle(max_bucket_freq: int | None = None) -> str:
+    inner = SIM.near_dup_pairs_sql("emb_both", NEAR_DUP_THRESH, mode="lsh",
+                                   max_bucket_freq=max_bucket_freq)
     return f"""
 WITH emb_both AS (
   SELECT vec_id, embedding FROM embeddings
@@ -641,11 +678,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "minhash_lsh_capped": q_minhash_lsh_capped,
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "near_dup": q_near_dup,
+        "near_dup_capped": q_near_dup_capped,
         "visibility": q_visibility,
         "visibility_region": q_visibility_region,
         "visibility_real_region": q_visibility_real_region,
@@ -710,6 +750,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": (D.ngram_jaccard_pairs_sql("documents", threshold=(1, 4))
                           + " ORDER BY a, b"),
         "minhash_lsh": D.lsh_candidate_pairs_sql("documents") + " ORDER BY a, b",
+        "ngram_jaccard_capped": (
+            D.ngram_jaccard_pairs_sql("documents", threshold=(1, 4),
+                                      max_doc_freq=JACCARD_CAP) + " ORDER BY a, b"),
+        "minhash_lsh_capped": (
+            D.lsh_candidate_pairs_sql("documents", max_band_freq=BAND_CAP)
+            + " ORDER BY a, b"),
         "simhash": D.simhash_sql("documents") + " ORDER BY id",
         "ann_cosine": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                        + " ORDER BY query_id, rank"),
@@ -718,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": (SIM.ivf_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                     + " ORDER BY query_id, rank"),
         "near_dup": _near_dup_oracle(),
+        "near_dup_capped": _near_dup_oracle(max_bucket_freq=BUCKET_CAP),
         # --- ray-walk oracles (recursive-CTE float32 twins) ---
         "visibility": f"""
 SELECT c.row, c.col, CAST(COALESCE(v.vis, 0.0) AS FLOAT) AS vis

@@ -120,14 +120,24 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (1, 2),
 
 
 def ngram_jaccard_pairs_sql(table: str, threshold: tuple[int, int] = (1, 2),
-                            id_col: str = "doc_id", text_col: str = "text") -> str:
+                            id_col: str = "doc_id", text_col: str = "text",
+                            max_doc_freq: int | None = None) -> str:
+    """DuckDB twin; ``max_doc_freq`` mirrors the Spark cap exactly (pairing
+    restricted to cool shingles, n_a/n_b stay full-set sizes)."""
     num, den = threshold
+    pair_src = "sh"
+    cap_cte = ""
+    if max_doc_freq is not None:
+        cap_cte = f""",
+psh AS (SELECT * FROM sh
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {max_doc_freq})"""
+        pair_src = "psh"
     return f"""
 WITH sh AS ({_shingles_sql(table, id_col, text_col)}),
-sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id){cap_cte},
 pairs AS (
   SELECT x.id AS a, y.id AS b, COUNT(*) AS n_common
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+  FROM {pair_src} x JOIN {pair_src} y ON x.shingle = y.shingle AND x.id < y.id
   GROUP BY 1, 2
 )
 SELECT p.a, p.b, p.n_common, sa.n AS n_a, sb.n AS n_b
@@ -168,8 +178,19 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """Near-dup candidates: pairs agreeing on all BAND_SIZE hashes of >=1 band."""
+                        text_col: str = "text",
+                        max_band_freq: int | None = None) -> DataFrame:
+    """Near-dup candidates: pairs agreeing on all BAND_SIZE hashes of >=1 band.
+
+    ``max_band_freq``: hot-band cap for scale.  A (band, key) shared by S
+    docs yields S^2 rows in the self-join, so one degenerate band signature
+    (e.g. millions of identical boilerplate pages) is quadratic at 100x
+    data.  With the cap, band groups larger than ``max_band_freq`` are
+    dropped from pairing — strictly conservative (capped output is a subset
+    of uncapped; a TRUE dup cluster of S > cap docs should be collapsed by
+    exact dedup upstream anyway, which handles identical texts at S log S).
+    None disables the cap (exact LSH semantics; the driver-checked default).
+    """
     sig = minhash_signatures(docs, id_col, text_col)
     n_bands = N_MINHASH // BAND_SIZE
     bands = sig.select(
@@ -180,6 +201,10 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                                         for j in range(BAND_SIZE)]).alias("bkey"))
             for b in range(n_bands)])).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    if max_band_freq is not None:
+        cool = (bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bf"))
+                .filter(F.col("bf") <= max_band_freq).select("band", "bkey"))
+        bands = bands.join(cool, ["band", "bkey"], "left_semi")
     pairs = (bands.alias("x").join(bands.alias("y"), ["band", "bkey"])
              .filter(F.col("x.id") < F.col("y.id"))
              .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
@@ -187,7 +212,8 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     return pairs
 
 
-def lsh_candidate_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+def lsh_candidate_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
+                            max_band_freq: int | None = None) -> str:
     n_bands = N_MINHASH // BAND_SIZE
     h = f"(({_tok_int_sql('shingle')}) % {_MH_Q})"
     mins = ", ".join(
@@ -197,12 +223,18 @@ def lsh_candidate_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = 
         "SELECT id, {b} AS band, ({key}) AS bkey FROM sig".format(
             b=b, key=" || ',' || ".join(f"m{b * BAND_SIZE + j}" for j in range(BAND_SIZE)))
         for b in range(n_bands))
+    cap_cte = ""
+    if max_band_freq is not None:
+        cap_cte = f""",
+banded AS (SELECT * FROM banded0
+           QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= {max_band_freq})"""
+    src = "banded" if max_band_freq is not None else "banded0"
     return f"""
 WITH sh AS ({_shingles_sql(table, id_col, text_col)}),
 sig AS (SELECT id, {mins} FROM sh GROUP BY id),
-banded AS ({band_rows})
+banded0 AS ({band_rows}){cap_cte}
 SELECT DISTINCT x.id AS a, y.id AS b
-FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+FROM {src} x JOIN {src} y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
 """
 
 

@@ -17,6 +17,8 @@ because embedding cosines are generic reals; both engines order by
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 N_PLANES = 8
@@ -80,8 +82,16 @@ SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank 
 """
 
 
-IVF_CENTROID_MOD = 31   # deterministic coarse centroids: vec_id % MOD == 0
+IVF_CENTROID_BUDGET = 64   # coarse-quantizer size target — FIXED, not O(N)
 IVF_NPROBE = 4
+
+
+def _centroid_modulus(n_vectors: int, n_centroids: int) -> int:
+    """Deterministic centroid selector: ids with ``id % m == 0`` where
+    ``m = max(1, N // budget)``.  Centroid count is ~budget (bounded by
+    2*budget for N >= budget) — independent of data size, unlike a fixed
+    modulus whose centroid count grows linearly with N."""
+    return max(1, n_vectors // max(1, n_centroids))
 
 
 def _assign_lists(vecs: DataFrame, cents: DataFrame, id_col: str,
@@ -100,19 +110,31 @@ def _assign_lists(vecs: DataFrame, cents: DataFrame, id_col: str,
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_probe: int = IVF_NPROBE) -> DataFrame:
+             n_probe: int = IVF_NPROBE,
+             n_centroids: int = IVF_CENTROID_BUDGET,
+             n_vectors: int | None = None) -> DataFrame:
     """IVF-flat approximate cosine top-k — the inverted-list alternative to
     :func:`lsh_bucket_topk`.
 
-    Coarse quantizer: the deterministic centroid subset (vec_id % 31 == 0);
-    every vector joins its single nearest list, every query probes its
+    Coarse quantizer: a deterministic centroid subset of ~``n_centroids``
+    vectors (ids divisible by ``max(1, N // n_centroids)``) — the centroid
+    count is a FIXED budget, never O(N), so the centroid table stays
+    broadcast-able at any data size.  Pass ``n_vectors`` (a known/estimated
+    count — table stats, snapshot manifest) to skip the ``count()`` scan;
+    on parquet that count is footer-metadata-only anyway.  At 10^12 vectors
+    set ``n_centroids ~ sqrt(N)`` (the classical IVF balance: assignment
+    N*sqrt(N) dot products, probe lists of ~sqrt(N)); the default fixed 64
+    is sized for the test corpora.
+
+    Every vector joins its single nearest list, every query probes its
     ``n_probe`` nearest lists; candidates are rescored exactly and ranked.
-    At scale the centroid table is tiny and broadcast; the candidate join is
-    an equi-join on list_id — never an all-pairs product.  All arithmetic is
-    double (bit-identical across engines), so the whole path is
-    oracle-checkable (:func:`ivf_topk_sql`).
+    The candidate join is an equi-join on list_id — never an all-pairs
+    product.  All arithmetic is double (bit-identical across engines), so
+    the whole path is oracle-checkable (:func:`ivf_topk_sql`).
     """
-    cents = embeddings.filter(F.col(id_col) % IVF_CENTROID_MOD == 0).select(
+    n = n_vectors if n_vectors is not None else embeddings.count()
+    mod = _centroid_modulus(n, n_centroids)
+    cents = embeddings.filter(F.col(id_col) % mod == 0).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cvec"))
     t = embeddings.select(F.col(id_col).alias("target_id"),
@@ -134,8 +156,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
 
 def ivf_topk_sql(table: str, queries_filter: str, k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_probe: int = IVF_NPROBE) -> str:
-    """DuckDB twin of :func:`ivf_topk` (same centroids, same assignment)."""
+                 n_probe: int = IVF_NPROBE,
+                 n_centroids: int = IVF_CENTROID_BUDGET) -> str:
+    """DuckDB twin of :func:`ivf_topk` (same centroids, same assignment).
+    The centroid modulus is computed in SQL from ``COUNT(*)`` — the same N
+    the Spark side counts, so both engines pick identical centroids."""
     def assign(src: str, idc: str, vc: str, keep) -> str:
         return f"""
   SELECT {idc}, {vc}, cid AS list_id FROM (
@@ -146,9 +171,10 @@ def ivf_topk_sql(table: str, queries_filter: str, k: int,
     FROM {src} s CROSS JOIN cents c
   ) WHERE crank <= {keep}"""
     return f"""
-WITH cents AS (SELECT {id_col} AS cid,
-                      list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cvec
-               FROM {table} WHERE {id_col} % {IVF_CENTROID_MOD} = 0),
+WITH cmod AS (SELECT GREATEST(1, COUNT(*) // {max(1, n_centroids)}) AS m FROM {table}),
+cents AS (SELECT {id_col} AS cid,
+                 list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cvec
+          FROM {table} WHERE {id_col} % (SELECT m FROM cmod) = 0),
 t AS (SELECT {id_col} AS target_id,
              list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS tvec FROM {table}),
 q AS (SELECT {id_col} AS query_id,
@@ -181,15 +207,52 @@ def _plane_component(plane: int, dim_idx):
     return (F.pmod(h, F.lit(2_000_003)) - F.lit(1_000_001.5)) / F.lit(1_000_001.5)
 
 
-def bucket_key_col(vec_col):
-    """Sign-bit LSH bucket id from N_PLANES pseudo-random hyperplanes."""
+@_lru_cache(maxsize=None)
+def _plane_weights(dim: int) -> tuple[tuple[float, ...], ...]:
+    """The N_PLANES x dim hyperplane weight matrix, computed ONCE driver-side.
+
+    Same derivation as :func:`_plane_component` (md5 -> int -> affine), same
+    IEEE-double arithmetic — the two are bit-identical (pinned by
+    tests/test_text_ops.py), so buckets and oracle hashes are unchanged.
+    The weight depends only on (plane, dim index); evaluating it inside the
+    per-row ``transform`` lambda re-ran 8 x dim md5+conv calls per ROW
+    (Catalyst cannot hoist an expression of the lambda variable) — the
+    constant factor on the hot path of every LSH query."""
+    import hashlib
+    rows = []
+    for p in range(N_PLANES):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2_000_003 - 1_000_001.5) / 1_000_001.5)
+        rows.append(tuple(row))
+    return tuple(rows)
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from one row (a single-row scan — negligible at any
+    scale; pass ``dim`` explicitly when the schema registry knows it)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None else 0
+
+
+def bucket_key_col(vec_col, dim: int | None = None):
+    """Sign-bit LSH bucket id from N_PLANES pseudo-random hyperplanes.
+
+    With ``dim`` the plane weights are precomputed literal arrays (JVM-side
+    constant, zero per-row hashing).  ``dim=None`` falls back to deriving the
+    weights per element — only for callers that truly cannot know the width
+    (ragged vectors would bucket by prefix either way: zip_with nulls out
+    length mismatches, so fixed-width input is assumed regardless)."""
     key = F.lit(0).cast("long")
     for p in range(N_PLANES):
+        if dim is not None:
+            wcol = F.array(*[F.lit(w) for w in _plane_weights(dim)[p]])
+        else:
+            wcol = F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1),
+                               lambda i: _plane_component(p, i))
         proj = F.aggregate(
-            F.zip_with(vec_col,
-                       F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1),
-                                   lambda i: _plane_component(p, i)),
-                       lambda x, w: x * w),
+            F.zip_with(vec_col, wcol, lambda x, w: x * w),
             F.lit(0.0), lambda acc, v: acc + v)
         key = key.bitwiseOR(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
     return key
@@ -197,15 +260,19 @@ def bucket_key_col(vec_col):
 
 def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    multiprobe: bool = True) -> DataFrame:
+                    multiprobe: bool = True, dim: int | None = None) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket (or differ by
-    one sign bit when multiprobe), rescored exactly, ranked per query."""
+    one sign bit when multiprobe), rescored exactly, ranked per query.
+    ``dim`` (inferred from one row when omitted) switches the bucketer to
+    precomputed literal plane weights — no per-row md5."""
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
     t = embeddings.select(F.col(id_col).alias("target_id"),
                           F.col(vec_col).cast("array<double>").alias("tvec"))
-    t = t.withColumn("bucket", bucket_key_col(F.col("tvec")))
+    t = t.withColumn("bucket", bucket_key_col(F.col("tvec"), dim))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qvec"))
-    q = q.withColumn("qbucket", bucket_key_col(F.col("qvec")))
+    q = q.withColumn("qbucket", bucket_key_col(F.col("qvec"), dim))
     if multiprobe:
         probes = F.array(F.col("qbucket"),
                          *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
@@ -225,7 +292,8 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
 
 def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20), *,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   mode: str = "lsh") -> DataFrame:
+                   mode: str = "lsh", dim: int | None = None,
+                   max_bucket_freq: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
     cosine(a, b) >= num/den.
 
@@ -235,8 +303,19 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
     'exact': brute-force all-pairs (the small-scale verifier; recall 1).
     The threshold is rational (num, den) cross-multiplied so there is no
     float-literal boundary drift between engines.
+
+    ``max_bucket_freq``: hot-bucket cap for scale.  A bucket holding S
+    vectors yields ~S^2 candidate rows in the self-join, so one degenerate
+    bucket (e.g. millions of near-zero or boilerplate embeddings hashing
+    alike) melts the join at 100x data.  With the cap, buckets whose
+    exact-key population exceeds it are dropped from candidate generation
+    entirely — strictly conservative (capped output is a subset of
+    uncapped).  None disables the cap (exact LSH semantics; what the
+    driver oracle checks).
     """
     num, den = threshold
+    if dim is None and mode == "lsh":
+        dim = _infer_dim(embeddings, vec_col)
     t = embeddings.select(F.col(id_col).alias("a"),
                           F.col(vec_col).cast("array<double>").alias("avec"))
     u = embeddings.select(F.col(id_col).alias("b"),
@@ -245,11 +324,17 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
         # bucket join + dedup carry IDS ONLY (the multiprobe duplicates a
         # pair up to N_PLANES+1 times; shuffling 2x64 doubles through that
         # distinct would dominate at scale) — vectors rejoin by id after
-        tb = t.select("a", bucket_key_col(F.col("avec")).alias("bucket"))
+        tb = t.select("a", bucket_key_col(F.col("avec"), dim).alias("bucket"))
+        if max_bucket_freq is not None:
+            cool = (tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bf"))
+                    .filter(F.col("bf") <= max_bucket_freq).select("bucket"))
+            tb = tb.join(cool, "bucket", "left_semi")
         probes = F.array(F.col("qbucket"),
                          *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
-        ub = (u.select("b", bucket_key_col(F.col("bvec")).alias("qbucket"))
+        ub = (u.select("b", bucket_key_col(F.col("bvec"), dim).alias("qbucket"))
                .withColumn("bucket", F.explode(probes)).drop("qbucket"))
+        if max_bucket_freq is not None:
+            ub = ub.join(cool, "bucket", "left_semi")
         cand_ids = (tb.join(ub, "bucket").filter(F.col("a") < F.col("b"))
                     .select("a", "b").distinct())
         cand = cand_ids.join(t, "a").join(u, "b")
@@ -266,16 +351,24 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
 
 def near_dup_pairs_sql(table: str, threshold: tuple[int, int] = (19, 20),
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       mode: str = "lsh") -> str:
-    """DuckDB twin of :func:`near_dup_pairs` (same buckets, same rescore)."""
+                       mode: str = "lsh",
+                       max_bucket_freq: int | None = None) -> str:
+    """DuckDB twin of :func:`near_dup_pairs` (same buckets, same rescore).
+    ``max_bucket_freq`` mirrors the Spark hot-bucket cap: buckets whose
+    exact-key population exceeds it are excluded from pairing (filtering the
+    exact side alone is output-equivalent to filtering both — probe rows
+    only match buckets present on the exact side)."""
     num, den = threshold
     cos = _cos_sql("avec", "bvec")
     if mode == "lsh":
         probes = ", ".join(["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(N_PLANES)])
+        tb_cap = ""
+        if max_bucket_freq is not None:
+            tb_cap = f"\n        QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= {max_bucket_freq}"
         cand = f"""
 t AS (SELECT {id_col} AS a, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS avec
       FROM {table}),
-tb AS (SELECT a, avec, {_bucket_sql('avec')}::BIGINT AS bucket FROM t),
+tb AS (SELECT a, avec, {_bucket_sql('avec')}::BIGINT AS bucket FROM t{tb_cap}),
 u AS (SELECT {id_col} AS b, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS bvec
       FROM {table}),
 qb AS (SELECT b, bvec, {_bucket_sql('bvec')}::BIGINT AS qbucket FROM u),

@@ -161,3 +161,83 @@ def test_lsh_ann_recall_on_clustered_data(spark):
            for r in S.ivf_topk(emb, q, 5).collect()}
     ivf_recall = len(exact & ivf) / len(exact)
     assert ivf_recall >= 0.8, ivf_recall
+
+
+def test_plane_weights_bitwise_equal(spark):
+    """The precomputed literal plane-weight matrix must be BIT-identical to
+    the md5 Column derivation it replaced (buckets — and therefore oracle
+    hashes — depend on exact sign boundaries)."""
+    dim = 16
+    rows = [(i, [((i * 13 + d * 7) % 29 - 14) / 14.0 for d in range(dim)])
+            for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit_path = emb.select("vec_id",
+                          S.bucket_key_col(F.col("embedding"), dim).alias("b"))
+    md5_path = emb.select("vec_id",
+                          S.bucket_key_col(F.col("embedding")).alias("b"))
+    assert _sorted_rows(lit_path) == _sorted_rows(md5_path)
+    # and the literal path's plan carries no md5 call at all
+    assert "md5" not in lit_path._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_centroid_budget_bounded(spark):
+    """Centroid count must stay ~budget as N grows 100x (the r2 scale-killer:
+    a fixed modulus made it O(N)), and the assignment join must still
+    broadcast the centroid table."""
+    budget = S.IVF_CENTROID_BUDGET
+    for n in (500, 50_000, 5_000_000):
+        m = S._centroid_modulus(n, budget)
+        n_cents = (n + m - 1) // m  # ids 0..n-1 with id % m == 0
+        assert n_cents <= 2 * budget, (n, n_cents)
+        if n >= budget:
+            assert n_cents >= budget // 2, (n, n_cents)
+    # plan check at two sizes: centroid side broadcast, count bounded
+    dim = 8
+    for n in (200, 2000):
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda d: (F.pmod(F.col("id") * 7 + d * 3, F.lit(19)) - 9.0) / 9.0
+                        ).alias("embedding"))
+        q = emb.filter(F.col("vec_id") % 97 == 0)
+        out = S.ivf_topk(emb, q, 3, n_vectors=n)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
+        m = S._centroid_modulus(n, S.IVF_CENTROID_BUDGET)
+        assert (n + m - 1) // m <= 2 * S.IVF_CENTROID_BUDGET
+        assert out.count() > 0
+
+
+def test_lsh_hot_band_cap(spark):
+    """A degenerate corpus (hundreds of identical docs) must not produce
+    quadratic candidates when the band cap is on: hot bands drop, cool
+    near-dup pairs survive."""
+    hot = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, hot) for i in range(300)]
+    rows += [(1000, "rare quick brown fox jumps over the lazy sleeping dog"),
+             (1001, "rare quick brown fox jumps over the lazy sleeping dog")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["a"], r["b"]) for r in
+              D.lsh_candidate_pairs(docs, max_band_freq=4).collect()}
+    assert capped == {(1000, 1001)}  # 300^2/2 hot pairs gone, cool pair kept
+
+
+def test_near_dup_hot_bucket_cap(spark):
+    """Same contract for the embedding path: a degenerate LSH bucket
+    (hundreds of identical vectors) is dropped; a cool duplicate pair whose
+    bucket population is under the cap survives."""
+    dim = 8
+    hot_vec = [1.0, -0.5, 0.25, 0.75, -1.0, 0.5, -0.25, 0.3]
+    cool_vec = [-0.9, 0.8, -0.7, 0.6, -0.5, 0.4, -0.3, 0.2]
+    rows = [(i, hot_vec) for i in range(300)]
+    rows += [(1000, cool_vec), (1001, cool_vec)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = {(r["a"], r["b"]) for r in
+              S.near_dup_pairs(emb, (19, 20), mode="lsh", dim=dim,
+                               max_bucket_freq=4).collect()}
+    assert capped == {(1000, 1001)}
+    # uncapped on the cool slice alone agrees (sanity: cap is the only delta)
+    cool = emb.filter(F.col("vec_id") >= 1000)
+    uncapped_cool = {(r["a"], r["b"]) for r in
+                     S.near_dup_pairs(cool, (19, 20), mode="lsh", dim=dim).collect()}
+    assert uncapped_cool == {(1000, 1001)}
