@@ -833,7 +833,9 @@ FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
             f"GROUP BY 1 ORDER BY 1"),
         "tile_events_hourly": f"""
 WITH pts AS (SELECT event_id, event_type, value,
-                    epoch_ms(ts) // 3600000 AS hour_id,
+                    -- floor (not //): DuckDB // on integers truncates toward
+                    -- zero, diverging from Spark's floor() pre-1970
+                    CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) AS hour_id,
                     {synth.geocode_arith_sql('user_id')[0]} AS lon,
                     {synth.geocode_arith_sql('user_id')[1]} AS lat
              FROM events)

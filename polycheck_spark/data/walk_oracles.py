@@ -506,7 +506,20 @@ FROM scored GROUP BY ex, ey ORDER BY ey, ex"""
 
 def sensor_real_oracle_sql(grid, sensors, origin, resolution,
                            combine: str = "union") -> str:
-    """Oracle for sensor_visibility_df (real regime, O6): (ex, ey, p)."""
+    """Oracle for sensor_visibility_df (real regime, O6): (ex, ey, p).
+
+    Full-circle sensors only: the gate below falls back to a double ATAN2
+    cast to float32, which matches the kernel's NumPy float32 atan2 ONLY
+    when the FOV test is vacuous (fov >= 2*pi).  A partial-FOV real-regime
+    oracle needs a precomputed float32 bearing lookup like
+    :func:`sensor_grid_oracle_sql`; fail loudly instead of silently
+    diverging."""
+    for s in sensors:
+        if float(s[5]) < 2.0 * math.pi - 1e-6:
+            raise ValueError(
+                f"sensor_real_oracle_sql requires full-circle FOV "
+                f"(fov >= 2*pi) — sensor {s[0]} has fov={s[5]!r}; use a "
+                f"bearing-lookup oracle for partial-FOV real instances")
     g = np.clip(np.asarray(grid, dtype=np.float32), 0.0, 1.0)
     h, w = g.shape
     ox, oy, res = float(origin[0]), float(origin[1]), float(resolution)

@@ -102,8 +102,15 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
     ring = initial_ring
     n = 1 << res
 
+    prev_r_eff = 0
     for _ in range(max_rounds):
         r_eff = min(ring, n, RING_CAP)
+        if r_eff == prev_r_eff:
+            # ring growth is clamped (RING_CAP or grid edge): another round
+            # would recompute the identical candidate join with the same
+            # guarantee — no progress possible, go straight to the fallback
+            break
+        prev_r_eff = r_eff
         topk = _topk(_candidates(remaining, t_indexed, r_eff, res), k).cache()
         guarantee = (r_eff - 1) * cell_extent if r_eff > 1 else 0.0
         stats = topk.groupBy("query_id").agg(

@@ -82,13 +82,22 @@ _DEDUP_STATE_SCHEMA = T.StructType([
 DEDUP_DIGEST_CHARS = 16  # 64-bit truncated digests in state (half the bytes)
 
 
-def stream_dedup_exact(spark: SparkSession, source_dir: str, *,
-                       out_dir: str, checkpoint_dir: str,
-                       n_shards: int = 64, available_now: bool = True,
-                       max_files_per_trigger: int | None = 1,
-                       max_state_per_shard: int = 2_000_000):
-    """Cross-batch exact dedup: custom stateful operator via
-    ``applyInPandasWithState``.
+def stream_dedup_windowed(spark: SparkSession, source_dir: str, *,
+                          out_dir: str, checkpoint_dir: str,
+                          n_shards: int = 64, available_now: bool = True,
+                          max_files_per_trigger: int | None = 1,
+                          max_state_per_shard: int = 2_000_000):
+    """Cross-batch text dedup with SLIDING-WINDOW semantics: custom stateful
+    operator via ``applyInPandasWithState``.
+
+    Named for what it guarantees (a review finding): state holds truncated
+    digests under a FIFO cap, so (a) a 64-bit collision can drop a
+    non-duplicate (~n^2/2^64 per shard) and (b) a duplicate arriving after
+    its digest's eviction is re-emitted.  Within the window the dedup is
+    exact.  For strict exact semantics set ``max_state_per_shard`` to a
+    value the executors' state store can hold and accept unbounded growth —
+    at the 10^12-document design point that is NOT this operator's contract
+    (use the batch ``exact_duplicates`` pass for global exactness).
 
     Texts are sharded by an md5 prefix; each shard's state holds the digests
     already emitted, so a page whose text appeared in an earlier micro-batch

@@ -52,7 +52,7 @@ def test_stream_resume_processes_only_new_files(spark, source_dir, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
-def test_stream_dedup_exact_across_batches(spark, tmp_path):
+def test_stream_dedup_windowed_across_batches(spark, tmp_path):
     """Stateful streaming dedup: a text seen in an earlier micro-batch is
     dropped in later ones; exactly one representative per distinct text."""
     import time as _time
@@ -68,7 +68,7 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
 
     out = str(tmp_path / "dedup_out")
     ckpt = str(tmp_path / "dedup_ckpt")
-    SP.stream_dedup_exact(spark, src, out_dir=out, checkpoint_dir=ckpt) \
+    SP.stream_dedup_windowed(spark, src, out_dir=out, checkpoint_dir=ckpt) \
         .awaitTermination(300)
 
     got = spark.read.parquet(out).select("url", "text_md5").collect()
@@ -111,7 +111,7 @@ def test_stream_dedup_state_is_bounded(spark, tmp_path):
 
     out = str(tmp_path / "cap_out")
     ckpt = str(tmp_path / "cap_ckpt")
-    SP.stream_dedup_exact(spark, src, out_dir=out, checkpoint_dir=ckpt,
+    SP.stream_dedup_windowed(spark, src, out_dir=out, checkpoint_dir=ckpt,
                           n_shards=1, max_state_per_shard=4) \
         .awaitTermination(300)
     got = {r["url"] for r in spark.read.parquet(out).collect()}
@@ -164,3 +164,56 @@ def test_stream_tile_counts_watermark_semantics(spark, tmp_path):
     wm = max_ts - datetime.timedelta(hours=1)
     exp = {(r["ws"], r["cell_id"]): r["n"] for r in exp_all if r["we"] <= wm}
     assert got == exp
+
+
+def test_stream_tile_counts_replay_is_exactly_once(spark, tmp_path):
+    """The parquet file-sink's commit log must make restarts exactly-once:
+    re-running on the same checkpoint (no new input) emits nothing, and a
+    restart that DOES process new input never re-emits an already-released
+    window — no duplicate (window_start, cell_id) keys ever appear."""
+    import time as _time
+    import datetime as _dt
+    source_dir = str(tmp_path / "replay_src")
+    pages_all = synth.generate_pages(spark, 9000).cache()
+    bounds = pages_all.agg(F.min("warc_ts"), F.max("warc_ts")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    span = (hi - lo) / 3
+    chunks = []
+    for i in range(3):
+        upper = lo + span * (i + 1) if i < 2 else hi + _dt.timedelta(seconds=1)
+        chunks.append(pages_all.filter(
+            (F.col("warc_ts") >= F.lit(lo + span * i))
+            & (F.col("warc_ts") < F.lit(upper))))
+
+    out = str(tmp_path / "replay_tiles")
+    ckpt = str(tmp_path / "replay_ckpt")
+
+    def run():
+        SP.stream_tile_counts(spark, source_dir, res=3, window="1 hour",
+                              watermark="1 hour", out_dir=out,
+                              checkpoint_dir=ckpt).awaitTermination(300)
+
+    def keys():
+        rows = spark.read.parquet(out).collect()
+        return [(r["window_start"], r["cell_id"]) for r in rows]
+
+    # phase 1: first two files, stream "killed" after completing them
+    chunks[0].coalesce(1).write.mode("append").parquet(source_dir)
+    _time.sleep(1.2)
+    chunks[1].coalesce(1).write.mode("append").parquet(source_dir)
+    run()
+    k1 = keys()
+    assert len(k1) == len(set(k1)) and k1, "phase-1 output has duplicate windows"
+
+    # phase 2: rerun with NO new input — nothing may be re-emitted
+    run()
+    assert sorted(keys()) == sorted(k1)
+
+    # phase 3: third file arrives, restart from the same checkpoint — new
+    # windows append, released ones appear exactly once across the restart
+    _time.sleep(1.2)
+    chunks[2].coalesce(1).write.mode("append").parquet(source_dir)
+    run()
+    k3 = keys()
+    assert len(k3) == len(set(k3)), "restart re-emitted an existing window"
+    assert set(k1) <= set(k3) and len(k3) > len(k1)
