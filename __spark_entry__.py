@@ -161,6 +161,26 @@ def q_tile_assignment(spark, sf_dir):
             .select("doc_id", "cell_id").orderBy("doc_id"))
 
 
+def q_tile_rollup(spark, sf_dir):
+    """Multi-resolution tile pyramid (hypertable rollup): one fine groupBy,
+    then cascaded Morton-parent aggregations, 4x less shuffle per level."""
+    pts = _docs_points(spark, sf_dir)
+    return (PJ.tile_rollup(pts, res_fine=TILE_RES, res_coarse=DENSITY_RES)
+            .orderBy("res", "cell_id"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> canonical clusters: min-label connected components
+    over the MinHash/LSH candidate graph (every doc labeled, singletons
+    cluster to themselves)."""
+    docs = _docs(spark, sf_dir)
+    edges = D.lsh_candidate_pairs(docs)
+    verts = docs.select("doc_id")
+    return (D.connected_components(verts, edges, id_col="doc_id")
+            .select(F.col("id").alias("doc_id"), "cluster_id")
+            .orderBy("doc_id"))
+
+
 def q_tile_density(spark, sf_dir):
     pts = _docs_points(spark, sf_dir)
     return (PJ.assign_tiles(pts, res=DENSITY_RES)
@@ -669,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_anti": q_pip_anti,
         "tile_assignment": q_tile_assignment,
         "tile_density": q_tile_density,
+        "tile_rollup": q_tile_rollup,
+        "dedup_clusters": q_dedup_clusters,
         "knn": q_knn,
         "raster_lookup": q_raster_lookup,
         "token_counts": q_token_counts,
@@ -733,6 +755,13 @@ def oracle_sql() -> dict[str, str]:
             f"HAVING COUNT(*) >= 2 ORDER BY n_docs DESC, cell_id"),
         "knn": (knn_sql_oracle(pts, f"doc_id % {KNN_FILTER_MOD} = 0", KNN_K)
                 + " ORDER BY query_id, rank"),
+        "tile_rollup": (PJ.tile_rollup_sql(pts, TILE_RES, DENSITY_RES)
+                        + " ORDER BY res, cell_id"),
+        "dedup_clusters": (D.connected_components_sql(
+            "SELECT doc_id FROM documents",
+            D.lsh_candidate_pairs_sql("documents"),
+            id_col="doc_id", out_id="doc_id")
+            + " ORDER BY doc_id"),
         "tile_quantiles": (
             f"WITH dens AS (SELECT {C.cell_id_sql('lon', 'lat', DENSITY_RES)} AS cell_id, "
             f"COUNT(*) AS n_docs FROM ({pts}) GROUP BY 1), "

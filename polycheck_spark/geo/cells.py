@@ -247,3 +247,26 @@ def cell_id_sql(lon_expr: str, lat_expr: str, res: int) -> str:
     ix = f"LEAST(GREATEST(CAST(FLOOR((({lon_expr}) + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
     iy = f"LEAST(GREATEST(CAST(FLOOR((({lat_expr}) + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
     return f"({res << RES_SHIFT} | ({_spread_sql(ix)} | ({_spread_sql(iy)} << 1)))"
+
+
+def parent_col(cid_col, res: int, parent_res: int):
+    """Containing-cell Column at a coarser resolution — JVM twin of
+    :func:`parent`.  Morton codes nest: dropping the 2*(res-parent_res) low
+    interleaved bits IS the interleave of (ix >> d, iy >> d), so the parent
+    id is two bit ops — no decode/re-encode, no UDF (equality with the NumPy
+    path is pinned by tests/test_cells.py)."""
+    from pyspark.sql import functions as F
+    if not 0 <= parent_res <= res:
+        raise ValueError("need 0 <= parent_res <= res")
+    d = res - parent_res
+    morton_mask = (1 << RES_SHIFT) - 1
+    morton = F.shiftrightunsigned(cid_col.bitwiseAND(F.lit(morton_mask)), 2 * d)
+    return F.lit(parent_res << RES_SHIFT).bitwiseOR(morton)
+
+
+def parent_sql(cid_expr: str, res: int, parent_res: int) -> str:
+    """SQL twin of :func:`parent_col` (same two bit ops)."""
+    d = res - parent_res
+    morton_mask = (1 << RES_SHIFT) - 1
+    return (f"({parent_res << RES_SHIFT} | "
+            f"((({cid_expr}) & {morton_mask}) >> {2 * d}))")

@@ -268,3 +268,69 @@ per_bit AS (SELECT id, bit, SUM(c) AS v FROM bits GROUP BY id, bit)
 SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM per_bit GROUP BY id
 """
+
+
+# --- duplicate-cluster assignment (connected components) ---------------------
+
+def connected_components(vertices: DataFrame, edges: DataFrame, *,
+                         id_col: str = "id", src_col: str = "a",
+                         dst_col: str = "b", max_iters: int = 20) -> DataFrame:
+    """(id, cluster_id): every vertex labeled with the smallest id reachable
+    in the undirected graph — the step a dedup pipeline needs AFTER pair
+    generation, turning near-dup PAIRS into canonical-representative
+    CLUSTERS (keep cluster_id, drop the rest).
+
+    Algorithm: min-label propagation (hash-to-min).  Each round every vertex
+    takes the min of its own label and its neighbors' labels — one
+    equi-join + one groupBy(min) per round, both map-side-combinable; no
+    driver-side graph state.  Rounds needed = graph diameter, and near-dup
+    clusters are near-cliques (diameter 1-2 at any corpus size — dup
+    clusters are dense by construction), so the loop converges in 2-3
+    rounds; ``max_iters`` is a safety bound, convergence is detected by an
+    any-label-changed count on the cached frames.  For adversarial
+    long-chain graphs switch to alternating large/small-star (same join
+    primitive, O(log n) rounds) — not worth the extra passes for dedup
+    workloads.
+    """
+    und = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
+        .unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    # each round's plan embeds the previous round's, so WITHOUT lineage
+    # truncation the logical plan doubles per iteration (driver OOM by ~10
+    # rounds — observed); an eager localCheckpoint pins the round's result
+    # and resets the plan to a scan, the standard iterative-DataFrame shape
+    labels = vertices.select(F.col(id_col).alias("id"),
+                             F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(max_iters):
+        prop = (und.join(labels, und.src == labels.id)
+                .select(F.col("dst").alias("id"), "label"))
+        new_labels = (labels.select("id", "label").unionAll(prop)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")))
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def connected_components_sql(vertices_cte: str, edges_cte: str,
+                             id_col: str = "id", out_id: str = "id") -> str:
+    """DuckDB twin: recursive reachability closure, then min per vertex.
+    Exact for any graph (the closure is the fixpoint hash-to-min converges
+    to); sized for oracle-scale graphs — the Spark operator is the one that
+    scales."""
+    return f"""
+WITH RECURSIVE verts AS ({vertices_cte}),
+pairs AS ({edges_cte}),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT {id_col} AS id, {id_col} AS r FROM verts
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id AS {out_id}, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""

@@ -252,3 +252,54 @@ def detect_hot_cells(pages: DataFrame, res: int, *, lon_col: str = "lon",
 def per_polygon_counts(joined: DataFrame) -> DataFrame:
     """Per-polygon hit counts (partial aggregation happens map-side)."""
     return joined.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def tile_rollup(points: DataFrame, res_fine: int, res_coarse: int,
+                lon_col: str = "lon", lat_col: str = "lat",
+                weight_col: str | None = None) -> DataFrame:
+    """Multi-resolution tile pyramid: (res, cell_id, n_docs) for every level
+    in [res_coarse, res_fine] — the hypertable-rollup / map-tile
+    pre-aggregation pattern.
+
+    Points are scanned and shuffled ONCE (the fine-level groupBy); every
+    coarser level aggregates the PREVIOUS level's counts through the Morton
+    parent bit-shift (cells.parent_col), so level r+1 -> r shuffles 4x less
+    data than the one before — total rollup traffic is ~1/3 of the fine
+    level regardless of depth, where re-aggregating the raw points per level
+    would cost depth x full shuffles.  All arithmetic is integer Column
+    expressions; sums are exact (counts, or integer/decimal weights).
+    """
+    if not 0 <= res_coarse <= res_fine:
+        raise ValueError("need 0 <= res_coarse <= res_fine")
+    agg0 = (F.count(F.lit(1)) if weight_col is None
+            else F.sum(weight_col)).alias("n_docs")
+    fine = (assign_tiles(points, res=res_fine, lon_col=lon_col, lat_col=lat_col)
+            .groupBy("cell_id").agg(agg0)
+            .select(F.lit(res_fine).alias("res"), "cell_id", "n_docs"))
+    levels = [fine]
+    prev = fine
+    for r in range(res_fine - 1, res_coarse - 1, -1):
+        nxt = (prev.groupBy(
+                   C.parent_col(F.col("cell_id"), r + 1, r).alias("cell_id"))
+               .agg(F.sum("n_docs").alias("n_docs"))
+               .select(F.lit(r).alias("res"), "cell_id", "n_docs"))
+        levels.append(nxt)
+        prev = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out
+
+
+def tile_rollup_sql(points_cte: str, res_fine: int, res_coarse: int) -> str:
+    """DuckDB twin of :func:`tile_rollup`: each level aggregated directly
+    from the points (sum-of-counts is associative, so per-level direct
+    aggregation equals the pyramid's cascaded rollup exactly)."""
+    from polycheck_spark.geo.cells import cell_id_sql
+    parts = []
+    for r in range(res_fine, res_coarse - 1, -1):
+        parts.append(
+            f"SELECT {r} AS res, {cell_id_sql('lon', 'lat', r)} AS cell_id, "
+            f"COUNT(*) AS n_docs FROM pts GROUP BY 2")
+    body = " UNION ALL ".join(parts)
+    return f"WITH pts AS ({points_cte}) {body}"

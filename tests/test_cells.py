@@ -90,3 +90,30 @@ def test_sql_and_column_twins_match_numpy(spark):
     con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lons, lats)))
     got_sql = [r[0] for r in con.execute(sql).fetchall()]
     assert got_sql == expected
+
+
+def test_parent_col_and_sql_match_numpy(spark):
+    """Morton-truncation parent (Column + SQL) == decode/shift/re-encode."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+    rng = np.random.RandomState(7)
+    res, pres = 12, 5
+    n = 1 << res
+    ix = rng.randint(0, n, 200).astype(np.int64)
+    iy = rng.randint(0, n, 200).astype(np.int64)
+    cids = C.encode(ix, iy, res)
+    exp = C.parent(cids, pres).tolist()
+    df = spark.createDataFrame([(int(c),) for c in cids], "cid long")
+    got = [r["p"] for r in
+           df.select(C.parent_col(F.col("cid"), res, pres).alias("p")).collect()]
+    assert got == exp
+    vals = ", ".join(f"({int(c)})" for c in cids)
+    sql = (f"SELECT {C.parent_sql('cid', res, pres)} AS p "
+           f"FROM (VALUES {vals}) t(cid)")
+    assert [r[0] for r in duckdb.sql(sql).fetchall()] == exp
+    # nesting invariant: every child of a parent maps back to it
+    some = C.children(cids[:10])
+    for row, par in zip(some, cids[:10]):
+        back = C.parent(row, None)
+        assert (back == par).all()

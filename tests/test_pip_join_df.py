@@ -53,3 +53,25 @@ def test_pip_join_df_larger_layer(spark):
         mask = contains_csr(verts, offsets, np.full(len(pts), pi), pts) > 0
         exp.extend((rows[j]["url"], int(pid)) for j in np.flatnonzero(mask))
     assert got == sorted(exp)
+
+
+def test_tile_rollup_pyramid_consistency(spark, sf_dir):
+    """Every pyramid level must (a) sum to the point count and (b) equal a
+    direct aggregation at that resolution — cascaded Morton-parent rollup
+    introduces no drift."""
+    import __spark_entry__ as E
+    from polycheck_spark.operators import pip_join as PJ
+    from pyspark.sql import functions as F
+    pts = E._docs_points(spark, sf_dir).cache()
+    n = pts.count()
+    out = PJ.tile_rollup(pts, res_fine=9, res_coarse=3).cache()
+    levels = {r["res"] for r in out.select("res").distinct().collect()}
+    assert levels == set(range(3, 10))
+    for r in (3, 6, 9):
+        lvl = out.filter(F.col("res") == r)
+        assert lvl.agg(F.sum("n_docs")).collect()[0][0] == n
+        direct = (PJ.assign_tiles(pts, res=r).groupBy("cell_id")
+                  .agg(F.count(F.lit(1)).alias("n_docs")))
+        got = sorted((x["cell_id"], x["n_docs"]) for x in lvl.collect())
+        exp = sorted((x["cell_id"], x["n_docs"]) for x in direct.collect())
+        assert got == exp

@@ -241,3 +241,41 @@ def test_near_dup_hot_bucket_cap(spark):
     uncapped_cool = {(r["a"], r["b"]) for r in
                      S.near_dup_pairs(cool, (19, 20), mode="lsh", dim=dim).collect()}
     assert uncapped_cool == {(1000, 1001)}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation == classic union-find on an adversarial mix:
+    chain, clique, singleton, and two bridged clusters."""
+    edges = [(1, 2), (2, 3), (3, 4),            # chain -> min 1
+             (10, 11), (10, 12), (11, 12),      # clique -> min 10
+             (20, 21), (22, 23), (21, 22),      # bridged pair of pairs -> 20
+             (31, 30)]                          # reversed order edge -> 30
+    verts = sorted({v for e in edges for v in e} | {99})  # 99 = singleton
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    exp = sorted((v, min(u for u in verts if find(u) == find(v))) for v in verts)
+
+    vdf = spark.createDataFrame([(v,) for v in verts], "id long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = sorted((r["id"], r["cluster_id"]) for r in
+                 D.connected_components(vdf, edf).collect())
+    assert got == exp
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-vertex path needs diameter-many rounds — the convergence loop
+    (not the iteration cap) must carry it to the fixpoint."""
+    n = 12
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    got = {(r["id"], r["cluster_id"]) for r in
+           D.connected_components(verts, edges, max_iters=30).collect()}
+    assert got == {(i, 0) for i in range(n)}
