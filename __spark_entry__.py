@@ -27,7 +27,9 @@ from polycheck_spark.data.polygons import GOLDEN_POLYGONS, default_query_layer, 
 from polycheck_spark.geo import cells as C
 from polycheck_spark.operators import dedup as D, similarity as SIM, text as TX
 from polycheck_spark.operators import pip_join as PJ
+from polycheck_spark.operators import sampling as SA
 from polycheck_spark.operators.knn import knn_join, knn_sql_oracle
+from polycheck_spark.operators.range_join import range_join, range_join_sql
 from polycheck_spark.operators.visibility import raster_lookup, raster_lookup_sql
 
 TILE_RES = 12
@@ -195,6 +197,37 @@ def q_knn(spark, sf_dir):
     got = knn_join(queries, pts, KNN_K, query_id="doc_id", target_id="doc_id")
     return got.select("query_id", "target_id", F.col("rank").cast("long").alias("rank")) \
               .orderBy("query_id", "rank")
+
+
+RANGE_RADIUS = 4.0
+RANGE_FILTER_MOD = 29
+SAMPLE_RATE = (3, 10)
+STRATA_RATES = {"en": (1, 5), "zh": (1, 2)}
+
+
+def q_range_join(spark, sf_dir):
+    """Within-radius spatial join: 3x3 cell-cover equi-join + exact refine
+    (resolution absorbs the radius — constant fan-out per query)."""
+    pts = _docs_points(spark, sf_dir)
+    queries = pts.filter(F.col("doc_id") % RANGE_FILTER_MOD == 0)
+    return (range_join(queries, pts, RANGE_RADIUS,
+                       query_id="doc_id", target_id="doc_id")
+            .orderBy("query_id", "target_id"))
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic Bernoulli(3/10) sample keyed on doc_id — reproducible
+    across runs, engines, and partitionings (a pure map-side filter)."""
+    return (SA.sample_hash(_docs(spark, sf_dir), "doc_id", SAMPLE_RATE)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language balanced sample: downsample the dominant 'en' to 1/5,
+    'zh' to 1/2, keep the rest — zero shuffles on the fact table."""
+    return (SA.stratified_sample(_docs(spark, sf_dir), "doc_id", "lang",
+                                 STRATA_RATES, default_rate=(1, 1))
+            .select("doc_id", "lang").orderBy("doc_id"))
 
 
 def q_raster_lookup(spark, sf_dir):
@@ -692,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "dedup_clusters": q_dedup_clusters,
         "knn": q_knn,
+        "range_join": q_range_join,
+        "sample_hash": q_sample_hash,
+        "stratified_sample": q_stratified_sample,
         "raster_lookup": q_raster_lookup,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -757,6 +793,15 @@ def oracle_sql() -> dict[str, str]:
                 + " ORDER BY query_id, rank"),
         "tile_rollup": (PJ.tile_rollup_sql(pts, TILE_RES, DENSITY_RES)
                         + " ORDER BY res, cell_id"),
+        "range_join": (range_join_sql(pts, f"doc_id % {RANGE_FILTER_MOD} = 0",
+                                      RANGE_RADIUS)
+                       + " ORDER BY query_id, target_id"),
+        "sample_hash": (
+            f"SELECT doc_id, lang FROM ({SA.sample_hash_sql('documents', 'doc_id', SAMPLE_RATE)}) "
+            f"ORDER BY doc_id"),
+        "stratified_sample": (
+            f"SELECT doc_id, lang FROM ({SA.stratified_sample_sql('documents', 'doc_id', 'lang', STRATA_RATES, default_rate=(1, 1))}) "
+            f"ORDER BY doc_id"),
         "dedup_clusters": (D.connected_components_sql(
             "SELECT doc_id FROM documents",
             D.lsh_candidate_pairs_sql("documents"),
