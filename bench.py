@@ -142,9 +142,10 @@ def main():
     # representative operator queries on the sf tables
     import __spark_entry__ as E
     qs = E.queries()
-    for name in ["pip_join", "pip_join_distributed", "tile_assignment", "knn",
-                 "minhash_lsh", "simhash", "ann_cosine", "ann_lsh", "ann_ivf",
-                 "near_dup", "agg_lineitem", "events_sessionize"]:
+    for name in ["pip_join", "pip_join_distributed", "tile_assignment",
+                 "tile_rollup", "knn", "range_join", "minhash_lsh", "simhash",
+                 "ann_cosine", "ann_lsh", "ann_ivf", "near_dup",
+                 "agg_lineitem", "events_sessionize"]:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         queries[name] = round(time.time() - t0, 3)
