@@ -188,3 +188,45 @@ class CheckpointedWriter:
 
     def read_output(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, "bucket=*"))
+
+    # -- time travel -----------------------------------------------------------
+
+    def snapshot(self, snapshot_id: int) -> dict | None:
+        """The manifest of one committed snapshot, or None."""
+        try:
+            with open(os.path.join(self.snapshot_dir,
+                                   f"snapshot_{snapshot_id}.json")) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def read_snapshot(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Read the table AS OF a snapshot (Iceberg time travel): only the
+        bucket directories that snapshot's manifest lists.  Buckets are
+        write-once (a marker commits them; only a parameter-change
+        ``reset_lineage`` ever tombstones), so earlier snapshots remain
+        readable as later ones append buckets — the same immutability
+        contract Iceberg manifests rely on."""
+        manifest = self.snapshot(snapshot_id)
+        if manifest is None:
+            raise ValueError(f"no snapshot {snapshot_id} under {self.snapshot_dir}")
+        paths = [os.path.join(self.out_dir, f"bucket={b}")
+                 for b in manifest["buckets"]]
+        if not paths:
+            raise ValueError(f"snapshot {snapshot_id} is empty")
+        return spark.read.parquet(*paths)
+
+    def validate_snapshot(self, snapshot_id: int) -> dict:
+        """Cross-check a snapshot's recorded per-bucket row counts against
+        the parquet footers on disk (metadata-only — no data scan).  Returns
+        {bucket: (recorded, actual)} for mismatches; {} means intact."""
+        manifest = self.snapshot(snapshot_id)
+        if manifest is None:
+            raise ValueError(f"no snapshot {snapshot_id}")
+        bad = {}
+        for b in manifest["buckets"]:
+            recorded = manifest["row_counts"][str(b)]
+            actual = _parquet_row_count(os.path.join(self.out_dir, f"bucket={b}"))
+            if recorded != actual:
+                bad[b] = (recorded, actual)
+        return bad

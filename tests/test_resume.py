@@ -93,3 +93,38 @@ def test_lineage_metrics_recorded(spark, tmp_path):
         assert r["latency_sec"] > 0
     snap = w.commit_snapshot()
     assert snap["snapshot_id"] == 1 and snap["parent_id"] == 0
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Iceberg-style time travel: snapshot 0 committed over the first two
+    buckets stays readable (and row-stable) after later buckets append and
+    snapshot 1 supersedes it; footer validation flags tampering."""
+    out_dir = str(tmp_path / "tt")
+    w = CheckpointedWriter(out_dir)
+
+    def build(k):
+        return spark.range(100 * (k + 1)).selectExpr("id", f"{k} AS bucket_no")
+
+    w.run([0, 1], build)
+    s0 = w.commit_snapshot()
+    w.run([0, 1, 2], build)           # 0,1 skipped (markers), 2 appended
+    s1 = w.commit_snapshot()
+
+    df0 = w.read_snapshot(spark, s0["snapshot_id"])
+    df1 = w.read_snapshot(spark, s1["snapshot_id"])
+    assert df0.count() == 100 + 200 == s0["total_rows"]
+    assert df1.count() == 100 + 200 + 300 == s1["total_rows"]
+    assert {r["bucket_no"] for r in df0.select("bucket_no").distinct().collect()} == {0, 1}
+
+    assert w.validate_snapshot(0) == {} and w.validate_snapshot(1) == {}
+    # tamper: drop a parquet file from bucket 2 -> snapshot 1 flags it,
+    # snapshot 0 (which never covered bucket 2) stays intact
+    import os
+    b2 = os.path.join(out_dir, "bucket=2")
+    victim = next(f for f in os.listdir(b2) if f.endswith(".parquet"))
+    os.remove(os.path.join(b2, victim))
+    assert 2 in w.validate_snapshot(1)
+    assert w.validate_snapshot(0) == {}
+
+    with pytest.raises(ValueError):
+        w.read_snapshot(spark, 99)
