@@ -266,8 +266,14 @@ def tile_rollup(points: DataFrame, res_fine: int, res_coarse: int,
     parent bit-shift (cells.parent_col), so level r+1 -> r shuffles 4x less
     data than the one before — total rollup traffic is ~1/3 of the fine
     level regardless of depth, where re-aggregating the raw points per level
-    would cost depth x full shuffles.  All arithmetic is integer Column
-    expressions; sums are exact (counts, or integer/decimal weights).
+    would cost depth x full shuffles.  Each level is cached explicitly:
+    Spark does NOT reuse a subtree across union branches here (verified —
+    without the cache the naive union plan rescans the points once PER
+    level; exchange reuse does not fire across the differing branch tops),
+    and a level is at most 4^res rows (cell-count bounded, independent of
+    input size), so the cached pyramid is small at any scale.  All
+    arithmetic is integer Column expressions; sums are exact (counts, or
+    integer/decimal weights).
     """
     if not 0 <= res_coarse <= res_fine:
         raise ValueError("need 0 <= res_coarse <= res_fine")
@@ -275,14 +281,16 @@ def tile_rollup(points: DataFrame, res_fine: int, res_coarse: int,
             else F.sum(weight_col)).alias("n_docs")
     fine = (assign_tiles(points, res=res_fine, lon_col=lon_col, lat_col=lat_col)
             .groupBy("cell_id").agg(agg0)
-            .select(F.lit(res_fine).alias("res"), "cell_id", "n_docs"))
+            .select(F.lit(res_fine).alias("res"), "cell_id", "n_docs")
+            .cache())
     levels = [fine]
     prev = fine
     for r in range(res_fine - 1, res_coarse - 1, -1):
         nxt = (prev.groupBy(
                    C.parent_col(F.col("cell_id"), r + 1, r).alias("cell_id"))
                .agg(F.sum("n_docs").alias("n_docs"))
-               .select(F.lit(r).alias("res"), "cell_id", "n_docs"))
+               .select(F.lit(r).alias("res"), "cell_id", "n_docs")
+               .cache())
         levels.append(nxt)
         prev = nxt
     out = levels[0]

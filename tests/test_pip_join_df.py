@@ -75,3 +75,30 @@ def test_tile_rollup_pyramid_consistency(spark, sf_dir):
         got = sorted((x["cell_id"], x["n_docs"]) for x in lvl.collect())
         exp = sorted((x["cell_id"], x["n_docs"]) for x in direct.collect())
         assert got == exp
+
+
+def test_tile_rollup_scans_points_once(spark):
+    """The union of pyramid levels must NOT re-read the source per level
+    (Spark does not reuse subtrees across union branches — the per-level
+    cache is what guarantees one pass). Counted with an accumulator on an
+    RDD-backed source: exactly n row-reads, not n * levels."""
+    from pyspark.sql import types as T
+    from polycheck_spark.operators import pip_join as PJ
+    n = 1000
+    rows = [(i, float((i * 37) % 360 - 180), float((i * 53) % 180 - 90))
+            for i in range(n)]
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        for r in it:
+            acc.add(1)
+            yield r
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("lon", T.DoubleType()),
+                           T.StructField("lat", T.DoubleType())])
+    src = spark.createDataFrame(rows, schema).rdd.mapPartitions(counting).toDF(schema)
+    out = PJ.tile_rollup(src, res_fine=8, res_coarse=4)
+    total = out.count()
+    assert total > 0
+    assert acc.value == n, f"source rows read {acc.value} times, expected {n}"

@@ -99,3 +99,14 @@ def test_sample_hash_rejects_bad_rate(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError):
         SA.sample_hash(docs, "doc_id", (11, 10))
+
+
+def test_sampling_plans_have_no_shuffle(spark, sf_dir):
+    """Both samplers must stay pure map-side filters — zero exchanges."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (SA.sample_hash(docs, "doc_id", (3, 10)),
+               SA.stratified_sample(docs, "doc_id", "lang",
+                                    {"en": (1, 5)}, default_rate=(1, 1))):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Scan parquet" in plan
