@@ -370,6 +370,16 @@ def q_ann_lsh(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_ann_quant(spark, sf_dir):
+    """Two-stage int8 re-rank ANN: integer top-m prefilter (8x fewer bytes
+    through the scan/shuffle at scale), exact double rescore of survivors."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return (SIM.quantized_topk(emb, q, KNN_K)
+            .select("query_id", "target_id", F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
 # --- raster / sensor / scan pipelines ---------------------------------------
 # Every walk query now has a DuckDB recursive-CTE oracle
 # (polycheck_spark/data/walk_oracles.py) replicating the float32/double
@@ -741,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_quant": q_ann_quant,
         "ann_ivf": q_ann_ivf,
         "near_dup": q_near_dup,
         "near_dup_capped": q_near_dup_capped,
@@ -835,6 +846,8 @@ def oracle_sql() -> dict[str, str]:
                        + " ORDER BY query_id, rank"),
         "ann_lsh": (SIM.lsh_bucket_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                     + " ORDER BY query_id, rank"),
+        "ann_quant": (SIM.quantized_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
+                      + " ORDER BY query_id, rank"),
         "ann_ivf": (SIM.ivf_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                     + " ORDER BY query_id, rank"),
         "near_dup": _near_dup_oracle(),

@@ -144,7 +144,7 @@ def main():
     qs = E.queries()
     for name in ["pip_join", "pip_join_distributed", "tile_assignment",
                  "tile_rollup", "knn", "range_join", "minhash_lsh", "simhash",
-                 "ann_cosine", "ann_lsh", "ann_ivf", "near_dup",
+                 "ann_cosine", "ann_lsh", "ann_ivf", "ann_quant", "near_dup",
                  "agg_lineitem", "events_sessionize"]:
         t0 = time.time()
         qs[name](spark, sf_dir).count()

@@ -33,6 +33,16 @@ def _norm2(a):
     return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
 
 
+def _cosine(a, b):
+    """Guarded cosine: a zero-norm vector scores 0.0 against everything
+    (cosine is undefined there; under ANSI mode the raw division raises
+    DIVIDE_BY_ZERO).  CaseWhen evaluates the division branch lazily, so the
+    guard costs nothing on the normal path and the value is unchanged for
+    every non-zero vector — oracle hashes are unaffected."""
+    n2 = _norm2(a) * _norm2(b)
+    return F.when(n2 > 0, _dot(a, b) / F.sqrt(n2)).otherwise(F.lit(0.0))
+
+
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k of each query against all embeddings.
@@ -44,8 +54,7 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qvec"))
     cand = t.join(F.broadcast(q), F.col("target_id") != F.col("query_id"))
-    cos = _dot(F.col("qvec"), F.col("tvec")) / \
-        F.sqrt(_norm2(F.col("qvec")) * _norm2(F.col("tvec")))
+    cos = _cosine(F.col("qvec"), F.col("tvec"))
     scored = cand.select("query_id", "target_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -54,10 +63,12 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
 
 
 def _cos_sql(a: str, b: str) -> str:
-    """Engine-parity cosine in DuckDB SQL (single source for every twin)."""
-    return (f"list_sum(list_transform(range(len({a})), i -> {a}[i + 1] * {b}[i + 1]))"
-            f" / sqrt(list_sum(list_transform({a}, x -> x * x))"
-            f" * list_sum(list_transform({b}, x -> x * x)))")
+    """Engine-parity cosine in DuckDB SQL (single source for every twin);
+    same zero-norm guard as :func:`_cosine`."""
+    n2 = (f"(list_sum(list_transform({a}, x -> x * x))"
+          f" * list_sum(list_transform({b}, x -> x * x)))")
+    dot = f"list_sum(list_transform(range(len({a})), i -> {a}[i + 1] * {b}[i + 1]))"
+    return f"(CASE WHEN {n2} > 0 THEN {dot} / sqrt({n2}) ELSE 0.0 END)"
 
 
 def cosine_topk_sql(table: str, queries_filter: str, k: int,
@@ -98,8 +109,7 @@ def _assign_lists(vecs: DataFrame, cents: DataFrame, id_col: str,
                   vec_col: str, keep: int) -> DataFrame:
     """Nearest-centroid assignment by cosine (ties -> lowest centroid id):
     cross join against the broadcast centroid table, rank, keep top lists."""
-    cos = _dot(F.col(vec_col), F.col("cvec")) / \
-        F.sqrt(_norm2(F.col(vec_col)) * _norm2(F.col("cvec")))
+    cos = _cosine(F.col(vec_col), F.col("cvec"))
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
     return (vecs.crossJoin(F.broadcast(cents))
             .withColumn("ccos", cos)
@@ -145,8 +155,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     q_probed = _assign_lists(q, cents, "query_id", "qvec", n_probe)
     cand = (t_assigned.join(F.broadcast(q_probed), "list_id")
             .filter(F.col("target_id") != F.col("query_id")))
-    cos = _dot(F.col("qvec"), F.col("tvec")) / \
-        F.sqrt(_norm2(F.col("qvec")) * _norm2(F.col("tvec")))
+    cos = _cosine(F.col("qvec"), F.col("tvec"))
     scored = cand.select("query_id", "target_id", cos.alias("cosine")).distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -281,8 +290,7 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
         q = q.withColumn("bucket", F.col("qbucket"))
     cand = t.join(F.broadcast(q.drop("qbucket")), "bucket") \
             .filter(F.col("target_id") != F.col("query_id"))
-    cos = _dot(F.col("qvec"), F.col("tvec")) / \
-        F.sqrt(_norm2(F.col("qvec")) * _norm2(F.col("tvec")))
+    cos = _cosine(F.col("qvec"), F.col("tvec"))
     scored = cand.select("query_id", "target_id", cos.alias("cosine")).distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -342,8 +350,7 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
         cand = t.join(u, F.col("a") < F.col("b"))
     else:
         raise ValueError("mode must be 'lsh' or 'exact'")
-    cos = _dot(F.col("avec"), F.col("bvec")) / \
-        F.sqrt(_norm2(F.col("avec")) * _norm2(F.col("bvec")))
+    cos = _cosine(F.col("avec"), F.col("bvec"))
     return (cand.withColumn("cosine", cos)
             .filter(F.col("cosine") * den >= F.lit(num))
             .select("a", "b"))
@@ -420,6 +427,113 @@ scored AS (
   SELECT DISTINCT query_id, target_id, {_cos_sql("qvec", "tvec")} AS cosine
   FROM tb JOIN probes USING (bucket)
   WHERE target_id <> query_id
+),
+ranked AS (
+  SELECT query_id, target_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, target_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# --- int8 two-stage re-rank ANN ----------------------------------------------
+
+QUANT_TOPM = 50
+
+
+def _quant_scale(vec_col):
+    """Per-vector quantizer scale 127/max|x| (0 for the zero vector)."""
+    mx = F.array_max(F.transform(vec_col, lambda x: F.abs(x)))
+    return F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+
+
+def quantized_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
+                   m: int = QUANT_TOPM,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Two-stage int8 re-rank ANN — the storage/shuffle-bound scale pattern.
+
+    Stage 1 scores int8-quantized vectors (per-vector scale 127/max|x|,
+    floor-quantized — floor, not round: identical in every engine) with an
+    INTEGER dot product and keeps the top ``m`` per query; stage 2 rescores
+    only those ``m`` survivors with the exact double cosine and ranks top
+    ``k``.  At 10^12 vectors the quantized copy is what ships through the
+    scan/shuffle — 8x fewer bytes than float64 (1 B/dim) — and the float
+    vectors are fetched by id for just m rows/query.  Integer arithmetic is
+    bit-identical across engines, so the survivor SET (ties broken by id)
+    and therefore the final ranking are oracle-exact
+    (:func:`quantized_topk_sql`).
+    """
+    t = embeddings.select(F.col(id_col).alias("target_id"),
+                          F.col(vec_col).cast("array<double>").alias("tvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+
+    def quant(vec):
+        # the scale rides an array_repeat ARGUMENT, not the lambda body: an
+        # expression referenced inside a HOF lambda is re-evaluated per
+        # element (the r2 shingling trap — array_max alone is O(dim), so
+        # inlining it would make quantization O(dim^2) per row); as a repeat
+        # argument it is evaluated once per row no matter what
+        # CollapseProject inlines
+        return F.zip_with(vec, F.array_repeat(_quant_scale(vec), F.size(vec)),
+                          lambda x, s: F.floor(x * s).cast("int"))
+
+    tq = t.select("target_id", quant(F.col("tvec")).alias("tq"))
+    qq = q.select("query_id", quant(F.col("qvec")).alias("qq"))
+    idot = F.aggregate(F.zip_with(F.col("qq"), F.col("tq"),
+                                  lambda x, y: (x * y).cast("long")),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+    w1 = Window.partitionBy("query_id").orderBy(F.col("idot").desc(),
+                                                F.col("target_id").asc())
+    survivors = (tq.join(F.broadcast(qq), F.col("target_id") != F.col("query_id"))
+                 .select("query_id", "target_id", idot.alias("idot"))
+                 .withColumn("mrank", F.row_number().over(w1))
+                 .filter(F.col("mrank") <= m)
+                 .select("query_id", "target_id"))
+    cand = survivors.join(t, "target_id").join(
+        q.withColumnRenamed("query_id", "qid2"),
+        F.col("query_id") == F.col("qid2")).drop("qid2")
+    cos = _cosine(F.col("qvec"), F.col("tvec"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("target_id").asc())
+    return (cand.select("query_id", "target_id", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "target_id", "rank"))
+
+
+def quantized_topk_sql(table: str, queries_filter: str, k: int,
+                       m: int = QUANT_TOPM,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`quantized_topk` (same quantizer, same integer
+    stage-1 scores, same tie-breaks)."""
+    def quant(vec):
+        mx = f"list_max(list_transform({vec}, x -> abs(x)))"
+        scale = f"(CASE WHEN {mx} > 0 THEN CAST(127 AS DOUBLE) / {mx} ELSE 0.0 END)"
+        return f"list_transform({vec}, x -> CAST(FLOOR(x * {scale}) AS INT))"
+    idot = ("CAST(list_sum(list_transform(range(len(qq)), "
+            "i -> CAST(qq[i + 1] AS BIGINT) * tq[i + 1])) AS BIGINT)")
+    return f"""
+WITH t AS (SELECT {id_col} AS target_id,
+                  list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS tvec FROM {table}),
+q AS (SELECT {id_col} AS query_id,
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM {table} WHERE {queries_filter}),
+tq AS (SELECT target_id, {quant('tvec')} AS tq FROM t),
+qq AS (SELECT query_id, {quant('qvec')} AS qq FROM q),
+s1 AS (
+  SELECT query_id, target_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {idot} DESC, target_id ASC) AS mrank
+  FROM tq JOIN qq ON target_id <> query_id
+),
+surv AS (SELECT query_id, target_id FROM s1 WHERE mrank <= {m}),
+scored AS (
+  SELECT surv.query_id, surv.target_id,
+         {_cos_sql('q.qvec', 't.tvec')} AS cosine
+  FROM surv JOIN t ON t.target_id = surv.target_id
+            JOIN q ON q.query_id = surv.query_id
 ),
 ranked AS (
   SELECT query_id, target_id,

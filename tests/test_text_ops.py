@@ -279,3 +279,26 @@ def test_connected_components_long_chain_converges(spark):
     got = {(r["id"], r["cluster_id"]) for r in
            D.connected_components(verts, edges, max_iters=30).collect()}
     assert got == {(i, 0) for i in range(n)}
+
+
+def test_quantized_topk_recall_and_zero_vector(spark):
+    """int8 re-rank: near-exact recall on clustered data (quantization noise
+    only perturbs the stage-1 ORDER, and m >> k absorbs it), and the
+    all-zero vector quantizes to zeros instead of dividing by zero."""
+    n_clusters, per, dim = 20, 25, 16
+    rows = []
+    for c in range(n_clusters):
+        base = [(((c * 31 + d * 17) % 97) - 48) / 48.0 for d in range(dim)]
+        for m in range(per):
+            vec = [base[d] + (((c * 7 + m * 13 + d * 3) % 11) - 5) / 500.0
+                   for d in range(dim)]
+            rows.append((c * per + m, [float(v) for v in vec]))
+    rows.append((9000, [0.0] * dim))  # zero vector: must not crash stage 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter((F.col("vec_id") % per == 0) & (F.col("vec_id") < 9000))
+    exact = {(r["query_id"], r["target_id"])
+             for r in S.cosine_topk(emb, q, 5).collect()}
+    quant = {(r["query_id"], r["target_id"])
+             for r in S.quantized_topk(emb, q, 5).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.95, recall
