@@ -702,6 +702,42 @@ def q_events_json(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_events_value_stats(spark, sf_dir):
+    """Data-profiling rollup: per event type, count / min / max / exact
+    decimal sum, and DISCRETE percentiles (the value at row index
+    floor((n-1)*p), ties broken by event_id) — rank-indexed, so both
+    engines pick the identical row; no interpolation drift."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    ranked = (ev.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", n))
+    picks = [(F.min(F.when(
+        F.col("rn") == F.floor((F.col("n") - 1) * F.lit(p / 100.0)) + 1,
+        F.col("value"))).alias(f"p{p}")) for p in (50, 90, 99)]
+    return (ranked.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+                 *picks)
+            .orderBy("event_type"))
+
+
+def q_dedup_apply(spark, sf_dir):
+    """End-to-end dedup: near-dup clusters collapsed to their canonical
+    representative (cluster_id == id) — per-lang survivor counts."""
+    docs = _docs(spark, sf_dir)
+    comps = D.connected_components(
+        docs.select("doc_id"), D.lsh_candidate_pairs(docs), id_col="doc_id")
+    survivors = comps.filter(F.col("cluster_id") == F.col("id")).select(F.col("id").alias("doc_id"))
+    return (docs.join(survivors, "doc_id", "left_semi")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang"))
+
+
 def q_set_ops(spark, sf_dir):
     """Anti-join set op: customers with no orders."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -771,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_quality": q_polygon_quality,
         "tile_events_hourly": q_tile_events_hourly,
         "events_json": q_events_json,
+        "events_value_stats": q_events_value_stats,
+        "dedup_apply": q_dedup_apply,
         "set_ops": q_set_ops,
         "distinct_tiles_per_lang": q_distinct_tiles_per_lang,
     }
@@ -935,6 +973,29 @@ SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY 1 ORDER BY 1""",
+        "events_value_stats": """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.5e0) AS BIGINT) + 1 THEN value END) AS p50,
+       MIN(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.9e0) AS BIGINT) + 1 THEN value END) AS p90,
+       MIN(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.99e0) AS BIGINT) + 1 THEN value END) AS p99
+FROM ranked GROUP BY event_type ORDER BY event_type""",
+        "dedup_apply": f"""
+WITH comps AS ({D.connected_components_sql(
+            "SELECT doc_id FROM documents",
+            D.lsh_candidate_pairs_sql("documents"),
+            id_col="doc_id", out_id="doc_id")})
+SELECT lang, COUNT(*) AS n_docs
+FROM documents JOIN comps USING (doc_id)
+WHERE comps.cluster_id = documents.doc_id
+GROUP BY lang ORDER BY lang""",
         "set_ops": """
 SELECT c_custkey FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY 1""",
