@@ -142,13 +142,21 @@ def main():
     # representative operator queries on the sf tables
     import __spark_entry__ as E
     qs = E.queries()
+    # best-of-2 per row: the shared host shows one-off ~30 s CPU-steal
+    # stalls that land on a random query (observed: ann_cosine 2.5 s and
+    # 34 s in back-to-back suites at similar canary) — a single-shot
+    # number can't tell a regression from a stall
     for name in ["pip_join", "pip_join_distributed", "tile_assignment",
                  "tile_rollup", "knn", "range_join", "minhash_lsh", "simhash",
                  "ann_cosine", "ann_lsh", "ann_ivf", "ann_quant", "near_dup",
                  "agg_lineitem", "events_sessionize"]:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     total = sum(queries.values())
     sf = sf_dir.rstrip("/").split("sf")[-1]
