@@ -156,7 +156,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     cand = (t_assigned.join(F.broadcast(q_probed), "list_id")
             .filter(F.col("target_id") != F.col("query_id")))
     cos = _cosine(F.col("qvec"), F.col("tvec"))
-    scored = cand.select("query_id", "target_id", cos.alias("cosine")).distinct()
+    # no distinct: a target sits in exactly ONE list and a query's probed
+    # list_ids are pairwise distinct (row_number ranks), so each
+    # (query, target) pair joins at most once — deduping again would cost a
+    # full shuffle for nothing (invariant pinned by
+    # test_ann_outputs_have_no_duplicate_pairs)
+    scored = cand.select("query_id", "target_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -192,7 +197,7 @@ q AS (SELECT {id_col} AS query_id,
 ta AS ({assign('t', 'target_id', 'tvec', 1)}),
 qa AS ({assign('q', 'query_id', 'qvec', n_probe)}),
 scored AS (
-  SELECT DISTINCT query_id, target_id, {_cos_sql('qvec', 'tvec')} AS cosine
+  SELECT query_id, target_id, {_cos_sql('qvec', 'tvec')} AS cosine
   FROM ta JOIN qa USING (list_id)
   WHERE target_id <> query_id
 ),
@@ -291,7 +296,10 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     cand = t.join(F.broadcast(q.drop("qbucket")), "bucket") \
             .filter(F.col("target_id") != F.col("query_id"))
     cos = _cosine(F.col("qvec"), F.col("tvec"))
-    scored = cand.select("query_id", "target_id", cos.alias("cosine")).distinct()
+    # no distinct: a target has ONE bucket and the multiprobe keys of a
+    # query (qbucket + 8 one-bit flips) are pairwise distinct, so each
+    # (query, target) pair joins at most once (see ivf_topk note)
+    scored = cand.select("query_id", "target_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -329,9 +337,12 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
     u = embeddings.select(F.col(id_col).alias("b"),
                           F.col(vec_col).cast("array<double>").alias("bvec"))
     if mode == "lsh":
-        # bucket join + dedup carry IDS ONLY (the multiprobe duplicates a
-        # pair up to N_PLANES+1 times; shuffling 2x64 doubles through that
-        # distinct would dominate at scale) — vectors rejoin by id after
+        # the candidate join carries IDS ONLY — vectors rejoin by id after,
+        # so the wide arrays never ride the bucket shuffle.  No dedup
+        # needed: a vector has ONE exact bucket and the multiprobe keys of
+        # the other side are pairwise distinct, so each (a, b) pair joins
+        # at most once (invariant pinned by
+        # test_ann_outputs_have_no_duplicate_pairs)
         tb = t.select("a", bucket_key_col(F.col("avec"), dim).alias("bucket"))
         if max_bucket_freq is not None:
             cool = (tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bf"))
@@ -344,7 +355,7 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
         if max_bucket_freq is not None:
             ub = ub.join(cool, "bucket", "left_semi")
         cand_ids = (tb.join(ub, "bucket").filter(F.col("a") < F.col("b"))
-                    .select("a", "b").distinct())
+                    .select("a", "b"))
         cand = cand_ids.join(t, "a").join(u, "b")
     elif mode == "exact":
         cand = t.join(u, F.col("a") < F.col("b"))
@@ -380,7 +391,7 @@ u AS (SELECT {id_col} AS b, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS
       FROM {table}),
 qb AS (SELECT b, bvec, {_bucket_sql('bvec')}::BIGINT AS qbucket FROM u),
 ub AS (SELECT b, bvec, unnest([{probes}]) AS bucket FROM qb),
-cand AS (SELECT DISTINCT a, b, avec, bvec
+cand AS (SELECT a, b, avec, bvec
          FROM tb JOIN ub USING (bucket) WHERE a < b)"""
     else:
         cand = f"""
@@ -424,7 +435,7 @@ q AS (SELECT {id_col} AS query_id,
 qb AS (SELECT query_id, qvec, {_bucket_sql('qvec')}::BIGINT AS qbucket FROM q),
 probes AS (SELECT query_id, qvec, unnest([{probes}]) AS bucket FROM qb),
 scored AS (
-  SELECT DISTINCT query_id, target_id, {_cos_sql("qvec", "tvec")} AS cosine
+  SELECT query_id, target_id, {_cos_sql("qvec", "tvec")} AS cosine
   FROM tb JOIN probes USING (bucket)
   WHERE target_id <> query_id
 ),

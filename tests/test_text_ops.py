@@ -302,3 +302,18 @@ def test_quantized_topk_recall_and_zero_vector(spark):
              for r in S.quantized_topk(emb, q, 5).collect()}
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.95, recall
+
+
+def test_ann_outputs_have_no_duplicate_pairs(spark, sf_dir):
+    """The bucketed ANN paths dropped their distinct on the claim that each
+    (query, target) pair joins at most once (one exact bucket/list per
+    target, pairwise-distinct probe keys). Pin that invariant — a
+    violation would silently duplicate output rows in BOTH engines, so the
+    oracle differential alone cannot catch it."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    for df, keys in ((S.lsh_bucket_topk(emb, q, 5), ("query_id", "target_id")),
+                     (S.ivf_topk(emb, q, 5), ("query_id", "target_id")),
+                     (S.near_dup_pairs(emb, (3, 5), mode="lsh"), ("a", "b"))):
+        rows = [tuple(r[k] for k in keys) for r in df.select(*keys).collect()]
+        assert len(rows) == len(set(rows)), keys
