@@ -280,17 +280,17 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
     generation, turning near-dup PAIRS into canonical-representative
     CLUSTERS (keep cluster_id, drop the rest).
 
-    Algorithm: min-label propagation (hash-to-min).  Each round every vertex
-    takes the min of its own label and its neighbors' labels — one
-    equi-join + one groupBy(min) per round, both map-side-combinable; no
-    driver-side graph state.  Rounds needed = graph diameter, and near-dup
-    clusters are near-cliques (diameter 1-2 at any corpus size — dup
-    clusters are dense by construction), so the loop converges in 2-3
-    rounds; ``max_iters`` is a safety bound, convergence is detected by an
-    any-label-changed count on the cached frames.  For adversarial
-    long-chain graphs switch to alternating large/small-star (same join
-    primitive, O(log n) rounds) — not worth the extra passes for dedup
-    workloads.
+    Algorithm: min-label propagation (hash-to-min) accelerated with pointer
+    jumping.  Each round every vertex takes the min of its own label and
+    its neighbors' labels (one equi-join + one groupBy(min), both
+    map-side-combinable), then short-circuits through its label's label
+    (``label(v) <- label(label(v))`` — a self-equi-join): the reach of a
+    label doubles per round, so convergence is O(log n) rounds on ANY
+    graph shape, not O(diameter) — a 64-vertex path converges in ~6 rounds
+    instead of 63 (pinned by test).  Near-dup clusters are near-cliques
+    and converge in 2-3 rounds regardless; ``max_iters`` is a safety
+    bound, convergence is detected by an any-label-changed probe on the
+    checkpointed frames.  No driver-side graph state.
     """
     und = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
         .unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -303,8 +303,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
     for _ in range(max_iters):
         prop = (und.join(labels, und.src == labels.id)
                 .select(F.col("dst").alias("id"), "label"))
-        new_labels = (labels.select("id", "label").unionAll(prop)
-                      .groupBy("id").agg(F.min("label").alias("label"))
+        stepped = (labels.select("id", "label").unionAll(prop)
+                   .groupBy("id").agg(F.min("label").alias("label")))
+        # pointer jump: labels are always vertex ids, so label(label(v))
+        # resolves via a self-join (left + coalesce is belt-and-braces)
+        lut = stepped.select(F.col("id").alias("lid"),
+                             F.col("label").alias("llabel"))
+        new_labels = (stepped.join(lut, stepped.label == lut.lid, "left")
+                      .select("id", F.coalesce("llabel", "label").alias("label"))
                       .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")

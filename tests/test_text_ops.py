@@ -270,14 +270,15 @@ def test_connected_components_vs_union_find(spark):
     assert got == exp
 
 
-def test_connected_components_long_chain_converges(spark):
-    """A 12-vertex path needs diameter-many rounds — the convergence loop
-    (not the iteration cap) must carry it to the fixpoint."""
-    n = 12
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A 64-vertex path has diameter 63: pure hash-to-min would need 63
+    rounds, so finishing under max_iters=10 proves the pointer-jumping
+    acceleration actually doubles label reach per round."""
+    n = 64
     verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
     got = {(r["id"], r["cluster_id"]) for r in
-           D.connected_components(verts, edges, max_iters=30).collect()}
+           D.connected_components(verts, edges, max_iters=10).collect()}
     assert got == {(i, 0) for i in range(n)}
 
 
