@@ -128,3 +128,39 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     with pytest.raises(ValueError):
         w.read_snapshot(spark, 99)
+
+
+def test_dedup_job_exact_and_resumable(spark, tmp_path):
+    """Digest-bucketed dedup job: survivors = exactly the distinct texts
+    (cross-bucket copies collapse because identical text => identical
+    bucket), representatives are url-smallest, and a kill-resume produces
+    the identical output."""
+    from pyspark.sql import functions as F
+    from polycheck_spark.jobs.dedup_job import run_job as dedup_run
+
+    out_dir = str(tmp_path / "dd")
+    res = dedup_run(spark, 2000, 4, out_dir)
+    got = CheckpointedWriter(out_dir).read_output(spark)
+    rows = got.select("url", "text_md5", "n_dups").collect()
+
+    staged = spark.read.parquet(f"{out_dir}/_staged_pages")
+    n_distinct = staged.select("text_md5").distinct().count()
+    assert len(rows) == n_distinct == res["snapshot"]["total_rows"]
+    md5s = [r["text_md5"] for r in rows]
+    assert len(md5s) == len(set(md5s))
+    # injected dups were counted and the min-url representative won
+    assert any(r["n_dups"] >= 2 for r in rows)
+    exp_rep = {r["text_md5"]: r["m"] for r in
+               staged.groupBy("text_md5").agg(F.min("url").alias("m")).collect()}
+    assert all(exp_rep[r["text_md5"]] == r["url"] for r in rows)
+
+    # kill before bucket 3 commits, then resume: identical output
+    out2 = str(tmp_path / "dd2")
+    with pytest.raises(RuntimeError):
+        dedup_run(spark, 2000, 4, out2, fail_on=lambda k: k == 3)
+    res2 = dedup_run(spark, 2000, 4, out2)
+    rows2 = sorted((r["url"], r["text_md5"], r["n_dups"]) for r in
+                   CheckpointedWriter(out2).read_output(spark)
+                   .select("url", "text_md5", "n_dups").collect())
+    assert rows2 == sorted((r["url"], r["text_md5"], r["n_dups"]) for r in rows)
+    assert 3 in res2["run"]["processed"] and len(res2["run"]["skipped"]) == 3
