@@ -108,11 +108,26 @@ def _centroid_modulus(n_vectors: int, n_centroids: int) -> int:
 def _assign_lists(vecs: DataFrame, cents: DataFrame, id_col: str,
                   vec_col: str, keep: int) -> DataFrame:
     """Nearest-centroid assignment by cosine (ties -> lowest centroid id):
-    cross join against the broadcast centroid table, rank, keep top lists."""
+    cross join against the broadcast centroid table, keep the top lists.
+
+    ``keep == 1`` (the TARGET side — all N vectors) is an argmax, computed
+    as ``groupBy(max(struct(ccos, -cid, vec)))``: a hash aggregate with
+    map-side partial combine, so only N pre-combined rows shuffle instead
+    of the window path's full N x n_centroids sort-shuffle — the dominant
+    IVF cost at scale.  Same semantics as rank 1 (max cosine, tie -> min
+    cid; cid is unique so the trailing struct fields never decide).
+    ``keep > 1`` (the QUERY side — small) keeps the window top-k."""
     cos = _cosine(F.col(vec_col), F.col("cvec"))
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn("ccos", cos)
+    if keep == 1:
+        best = F.max(F.struct(F.col("ccos"),
+                              (-F.col("cid")).alias("negcid"),
+                              F.col(vec_col).alias("v"))).alias("m")
+        return (scored.groupBy(id_col).agg(best)
+                .select(id_col, F.col("m.v").alias(vec_col),
+                        (-F.col("m.negcid")).alias("list_id")))
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid").asc())
-    return (vecs.crossJoin(F.broadcast(cents))
-            .withColumn("ccos", cos)
+    return (scored
             .withColumn("crank", F.row_number().over(w))
             .filter(F.col("crank") <= keep)
             .select(id_col, vec_col, F.col("cid").alias("list_id")))
