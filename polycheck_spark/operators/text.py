@@ -132,16 +132,30 @@ FROM {table}
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-sensitive document fingerprint:
-    ``sum_i((i + 1) * tok_int(t_i)) % MOD`` — position-weighted token hash."""
+    ``sum_i((i + 1) * tok_int(t_i)) % MOD`` — position-weighted token hash.
+
+    Computed as a pure higher-order expression (zip tokens with their
+    1-based positions, fold the modular terms): a per-document fold needs
+    no explode + groupBy, which at 10^12 docs was a full shuffle of the
+    TOKEN table — the corpus's dominant relation — for a value each row
+    can produce locally.  Each term is reduced mod MOD (~2^30) before
+    summing, so the int64 accumulator cannot overflow below ~8e9 tokens
+    per document; addition order matches the former aggregation because
+    the modular sum is commutative and never overflows.
+    """
     toks = tokens_col(F.col(text_col))
-    exploded = docs.select(F.col(id_col), F.posexplode_outer(toks).alias("pos", "tok"))
-    # each term is reduced mod MOD before summing: terms stay < MOD (~2^30),
-    # so the int64 sum cannot overflow below ~8e9 tokens per document
-    term = F.pmod((F.col("pos") + 1) * F.pmod(_tok_int(F.col("tok")), F.lit(MOD)),
-                  F.lit(MOD))
-    return (exploded.groupBy(id_col)
-            .agg(F.pmod(F.sum(F.when(F.col("tok").isNotNull(), term).otherwise(0)),
-                        F.lit(MOD)).alias("fingerprint")))
+    t = F.col("__toks")
+    # sequence(1, 0) would DESCEND (Spark infers step -1), so the empty
+    # token array is short-circuited instead of zipped
+    term_arr = F.zip_with(
+        t, F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1))),
+        lambda tok, i: F.pmod(i * F.pmod(_tok_int(tok), F.lit(MOD)), F.lit(MOD)))
+    fp = F.when(F.size(t) > 0,
+                F.pmod(F.aggregate(term_arr, F.lit(0).cast("long"),
+                                   lambda acc, v: acc + v), F.lit(MOD))) \
+         .otherwise(F.lit(0).cast("long"))
+    return (docs.withColumn("__toks", toks)
+            .select(F.col(id_col), fp.alias("fingerprint")))
 
 
 def fingerprints_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
