@@ -169,6 +169,14 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     (h_i = (a_i*h + b_i) mod p, the classic universal-hash family) —
     computing 16 independent md5s per shingle costs 16x for no extra
     collision quality.
+
+    Deliberately explode + groupBy, NOT 16 higher-order folds over a
+    per-row shingle array: Spark never codegens lambda expressions, so the
+    fold variant runs fully interpreted (0 WholeStageCodegen spans) and
+    measured 8x SLOWER at sf0.1 (9 s vs 1.2 s) despite saving the shingle
+    shuffle — min-aggregation in a codegen'd hash aggregate with map-side
+    partial combine wins.  (Contrast text.fingerprints, where a SINGLE
+    fold beats its shuffle.)
     """
     sh = _shingles(docs, id_col, text_col, distinct=False)
     h = F.pmod(_tok_int(F.col("shingle")), F.lit(_MH_Q))
