@@ -299,6 +299,18 @@ def q_ann_cosine(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_ann_cosine_fast(spark, sf_dir):
+    """Arrow/NumPy exact top-k (the high-throughput twin of ann_cosine):
+    BLAS batch x query cosine matrix, per-batch top-k, final window —
+    checked against the SAME brute-force oracle as the HOF path (rank
+    output is ulp-robust on real embeddings)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return (SIM.cosine_topk_arrow(emb, q, KNN_K)
+            .select("query_id", "target_id", F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
 NEAR_DUP_THRESH = (3, 5)
 NEAR_DUP_MOD = 50
 NEAR_DUP_OFFSET = 100_000
@@ -786,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_capped": q_minhash_lsh_capped,
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
+        "ann_cosine_fast": q_ann_cosine_fast,
         "ann_lsh": q_ann_lsh,
         "ann_quant": q_ann_quant,
         "ann_ivf": q_ann_ivf,
@@ -882,6 +895,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": D.simhash_sql("documents") + " ORDER BY id",
         "ann_cosine": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                        + " ORDER BY query_id, rank"),
+        "ann_cosine_fast": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
+                            + " ORDER BY query_id, rank"),
         "ann_lsh": (SIM.lsh_bucket_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                     + " ORDER BY query_id, rank"),
         "ann_quant": (SIM.quantized_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)

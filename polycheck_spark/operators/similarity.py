@@ -568,3 +568,77 @@ ranked AS (
 )
 SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
 """
+
+
+# --- Arrow-vectorized exact top-k --------------------------------------------
+
+def cosine_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k, Arrow/NumPy path — the high-throughput twin of
+    :func:`cosine_topk`.
+
+    The HOF dot product is bit-exact against DuckDB's sequential fold but
+    runs INTERPRETED (Spark never codegens lambdas) — ~10-50x off
+    vectorized speed.  Here queries are collected to a driver matrix
+    (queries are the small side by contract), each Arrow batch of targets
+    computes the full batch x query cosine matrix with BLAS, keeps the
+    per-batch top-k per query (lexsort: cosine desc, id asc — stable
+    ties), and a final window ranks the k-per-query-per-batch survivors —
+    the classic distributed brute-force kNN shape, shuffling only
+    O(k * n_batches) rows per query.
+
+    BLAS pairwise summation rounds differently than the sequential fold,
+    so COSINES differ by ulps from :func:`cosine_topk`; the (query_id,
+    target_id, rank) OUTPUT is identical unless two cosines tie within
+    ~1 ulp (vanishing on real embeddings; equality on the test corpora is
+    pinned by pytest, and the driver value-checks it against the same SQL
+    oracle as the HOF path).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
+    if not qrows:
+        raise ValueError("cosine_topk_arrow: empty query set")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = np.divide(qmat, np.where(qn > 0, qn, 1.0))
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("target_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            tmat = np.array(list(pdf["__vec"]), dtype=np.float64)
+            tn = np.linalg.norm(tmat, axis=1, keepdims=True)
+            tmat = np.divide(tmat, np.where(tn > 0, tn, 1.0))
+            cos = tmat @ qmat.T                      # B x Q
+            cos[ids[:, None] == qids[None, :]] = -np.inf  # self-matches out
+            kk = min(k, cos.shape[0])
+            out_q, out_t, out_c = [], [], []
+            for j in range(cos.shape[1]):
+                order = np.lexsort((ids, -cos[:, j]))[:kk]
+                keep = order[np.isfinite(cos[order, j])]
+                out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
+                out_t.append(ids[keep])
+                out_c.append(cos[keep, j])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q) if out_q else np.array([], dtype=np.int64),
+                "target_id": np.concatenate(out_t) if out_t else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            })
+
+    src = embeddings.select(F.col(id_col).alias("__id"),
+                            F.col(vec_col).cast("array<double>").alias("__vec"))
+    partial = src.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("target_id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "target_id", "rank"))

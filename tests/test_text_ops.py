@@ -318,3 +318,19 @@ def test_ann_outputs_have_no_duplicate_pairs(spark, sf_dir):
                      (S.near_dup_pairs(emb, (3, 5), mode="lsh"), ("a", "b"))):
         rows = [tuple(r[k] for k in keys) for r in df.select(*keys).collect()]
         assert len(rows) == len(set(rows)), keys
+
+
+def test_cosine_topk_arrow_equals_hof(spark, sf_dir):
+    """The BLAS path must produce the identical (query, target, rank)
+    output as the interpreted-HOF path — ulp-level cosine differences may
+    not flip ranks on real embeddings (and the zero vector scores 0)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.createDataFrame([(777_000, [0.0] * dim)],
+                                 "vec_id long, embedding array<double>")
+    both = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding")).unionByName(zero)
+    q = both.filter(F.col("vec_id") % 50 == 0)
+    hof = _sorted_rows(S.cosine_topk(both, q, 5))
+    arrow = _sorted_rows(S.cosine_topk_arrow(both, q, 5))
+    assert arrow == hof
