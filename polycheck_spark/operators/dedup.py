@@ -327,9 +327,17 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
         # resolves via a self-join (left + coalesce is belt-and-braces)
         lut = stepped.select(F.col("id").alias("lid"),
                              F.col("label").alias("llabel"))
+        # the trailing re-alias mints FRESH attribute ids over the
+        # checkpointed RDD: without it, round k+1's self-join over attrs
+        # that were themselves produced by round k's deduplicated self-join
+        # trips Spark's relation dedup ("key not found: id#N" inside
+        # localCheckpoint) — found by the 1M-vertex stress run, reproduced
+        # at 10k; harmless no-op otherwise
         new_labels = (stepped.join(lut, stepped.label == lut.lid, "left")
                       .select("id", F.coalesce("llabel", "label").alias("label"))
-                      .localCheckpoint())
+                      .localCheckpoint()
+                      .select(F.col("id").alias("id"),
+                              F.col("label").alias("label")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.label") != F.col("o.label")))

@@ -1,0 +1,117 @@
+"""Large-input stress evidence for the round-3 operators.
+
+The driver's correctness gate runs at sf0.01 and bench.py at sf0.1; this
+harness runs the NEW operator families at 100-1000x those volumes on
+synthetic inputs (same deterministic generators) so the scale claims in
+BENCH/BASELINE.md are measured, not argued:
+
+* tile_rollup     — 12 M geocoded pages, res 12 -> 4 pyramid (9 levels)
+* range_join      — 2 M targets x ~20 k queries, radius 2 deg
+* dedup_exact     — 2 M pages (10% injected duplicates)
+* minhash_lsh     — 200 k pages (banded candidates over ~10 M shingles)
+* connected_components — 1 M vertices, 1 M edges (random + chain mix)
+
+Usage: python tools/bench_stress.py  -> one JSON line + BENCH/stress.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main():
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from polycheck_spark.session import get_spark
+    spark = get_spark("stress", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from polycheck_spark.data import synth
+    from polycheck_spark.operators import dedup as D, pip_join as PJ
+    from polycheck_spark.operators.range_join import range_join
+
+    out: dict = {"cpus": cpus}
+
+    # --- tile_rollup: 12M points, 9 levels -----------------------------------
+    n_pts = 12_000_000
+    pts = synth.geocoded_pages(spark, n_pts).select("url", "lon", "lat")
+    t0 = time.time()
+    rows = PJ.tile_rollup(pts, res_fine=12, res_coarse=4).count()
+    dt = time.time() - t0
+    out["tile_rollup_12m"] = {"points": n_pts, "levels": 9, "out_cells": rows,
+                              "sec": round(dt, 2),
+                              "pts_per_sec": round(n_pts / dt)}
+
+    # --- range_join: 2M targets x ~20k queries -------------------------------
+    n_t = 2_000_000
+    tgt = synth.geocoded_pages(spark, n_t).select(
+        F.xxhash64("url").alias("pid"), "lon", "lat")
+    q = tgt.filter(F.pmod(F.col("pid"), F.lit(100)) == 0)
+    t0 = time.time()
+    pairs = range_join(q, tgt, 2.0, query_id="pid", target_id="pid").count()
+    dt = time.time() - t0
+    out["range_join_2m"] = {"targets": n_t, "radius_deg": 2.0, "pairs": pairs,
+                            "sec": round(dt, 2),
+                            "targets_per_sec": round(n_t / dt)}
+
+    # --- dedup_exact: 2M pages, 10% dups -------------------------------------
+    n_p = 2_000_000
+    pages = synth.generate_pages(spark, n_p)
+    dups = (pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0)
+            .withColumn("url", F.concat(F.col("url"), F.lit("?d"))))
+    corpus = pages.unionByName(dups).select("url", "text")
+    t0 = time.time()
+    groups = D.exact_duplicates(corpus, id_col="url").count()
+    dt = time.time() - t0
+    out["dedup_exact_2m"] = {"docs": int(n_p * 1.1), "dup_groups": groups,
+                             "sec": round(dt, 2),
+                             "docs_per_sec": round(n_p * 1.1 / dt)}
+
+    # --- minhash_lsh: 200k pages + 5% injected dups --------------------------
+    # random synthetic texts share no shingles, so without injection the
+    # candidate count is trivially 0; the dups make recall visible
+    n_m = 200_000
+    base = (synth.generate_pages(spark, n_m)
+            .select(F.xxhash64("url").alias("doc_id"), "text"))
+    mdup = (base.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+            .select((F.col("doc_id") + 1).alias("doc_id"), "text"))
+    mdocs = base.unionByName(mdup)
+    n_inj = mdup.count()
+    t0 = time.time()
+    cand = D.lsh_candidate_pairs(mdocs, max_band_freq=64).count()
+    dt = time.time() - t0
+    out["minhash_lsh_200k"] = {"docs": n_m + n_inj, "injected_dups": n_inj,
+                               "candidates": cand, "sec": round(dt, 2),
+                               "docs_per_sec": round((n_m + n_inj) / dt),
+                               "max_band_freq": 64}
+
+    # --- connected components: 1M vertices, ~1M edges ------------------------
+    n_v = 1_000_000
+    verts = spark.range(n_v).select(F.col("id"))
+    rnd = spark.range(n_v).select(
+        (F.pmod(F.xxhash64(F.col("id") * 2654435761), F.lit(n_v))).alias("a"),
+        (F.pmod(F.xxhash64(F.col("id") * 1442695041 + 7), F.lit(n_v))).alias("b")) \
+        .filter(F.col("a") != F.col("b"))
+    t0 = time.time()
+    comps = (D.connected_components(verts, rnd)
+             .select("cluster_id").distinct().count())
+    dt = time.time() - t0
+    out["connected_components_1m"] = {"vertices": n_v, "components": comps,
+                                      "sec": round(dt, 2),
+                                      "edges_per_sec": round(n_v / dt)}
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/stress.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
