@@ -91,6 +91,27 @@ def main():
                                "docs_per_sec": round((n_m + n_inj) / dt),
                                "max_band_freq": 64}
 
+    # --- pip_join_df: 100k polygons x 1M points (the 10^5+-polygon path) -----
+    # small deterministic triangles spread over the world; the polygon side
+    # is a DATAFRAME — cover expansion, vertex transport, per-batch CSR
+    # packing all distributed, shuffle equi-join on cell_id
+    n_poly, n_pt = 100_000, 1_000_000
+    cx = (F.pmod(F.col("id") * 37 + 11, F.lit(3500)) / 10.0 - 175.0)
+    cy = (F.pmod(F.col("id") * 53 + 7, F.lit(1700)) / 10.0 - 85.0)
+    polys = spark.range(n_poly).select(
+        F.col("id").alias("polygon_id"),
+        F.array(cx.cast("float"), (cx + 0.8).cast("float"),
+                (cx + 0.4).cast("float")).alias("xs"),
+        F.array(cy.cast("float"), cy.cast("float"),
+                (cy + 0.7).cast("float")).alias("ys"))
+    pj_pts = synth.geocoded_pages(spark, n_pt).select("url", "lon", "lat")
+    t0 = time.time()
+    hits = PJ.pip_join_df(pj_pts, polys, cover_res=8).count()
+    dt = time.time() - t0
+    out["pip_join_df_100k_polys"] = {"polygons": n_poly, "points": n_pt,
+                                     "hits": hits, "sec": round(dt, 2),
+                                     "pts_per_sec": round(n_pt / dt)}
+
     # --- connected components: 1M vertices, ~1M edges ------------------------
     n_v = 1_000_000
     verts = spark.range(n_v).select(F.col("id"))
