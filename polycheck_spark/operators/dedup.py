@@ -318,6 +318,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
     # and resets the plan to a scan, the standard iterative-DataFrame shape
     labels = vertices.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("label")).localCheckpoint()
+
+    def label_sum(df):
+        # exact decimal sum — ids can be 64-bit hashes, so an int64 sum of
+        # 10^6+ of them would overflow
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iters):
         prop = (und.join(labels, und.src == labels.id)
                 .select(F.col("dst").alias("id"), "label"))
@@ -338,13 +345,16 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
                       .localCheckpoint()
                       .select(F.col("id").alias("id"),
                               F.col("label").alias("label")))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label")))
-        done = changed.isEmpty()
+        # convergence via the label-sum invariant: per-vertex labels are
+        # NON-INCREASING (min over a set containing the old label; the jump
+        # maps through a non-increasing table), so the exact sum is
+        # unchanged iff no label moved — one cheap aggregate over the
+        # just-checkpointed RDD instead of a join + isEmpty per round
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if done:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
