@@ -206,3 +206,23 @@ def test_visibility_stability_transition():
     # collapse runs: must be exactly [1, 0, 1]
     runs = [s for i, s in enumerate(states) if i == 0 or states[i - 1] != s]
     assert runs == [1, 0, 1], states
+
+
+def test_visibility_stability_transition_real_regime():
+    """tests/test_visibility_stability.py real-coordinate half: the observer
+    slides in SUB-CELL steps (200 samples, res 0.1 world units per cell)
+    past a solid block — transmittance must transition cleanly 1 -> 0 -> 1
+    with no flicker despite the DDA entering cells at varying offsets."""
+    grid = np.zeros((30, 30), dtype=np.float32)
+    grid[13:17, 13:17] = 1.0
+    origin, res = (0.0, 0.0), 0.1
+    # world coords: grid spans [0, 3.0)^2; block = [1.3, 1.7) on both axes
+    ty, oy = 0.15, 2.55  # target above the block, observer path below it
+    states = []
+    for i in range(200):
+        ox = 0.12 + i * (2.76 / 199)  # sub-cell stride, never on a cell edge
+        v = K.line_real_observation(grid, 30, 30, origin[0], origin[1], res,
+                                    ox, oy, 1.55, ty)
+        states.append(1 if v > 0.5 else 0)
+    runs = [s for i, s in enumerate(states) if i == 0 or states[i - 1] != s]
+    assert runs == [1, 0, 1], runs
