@@ -382,6 +382,16 @@ def q_ann_lsh(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_ann_lsh_fast(spark, sf_dir):
+    """Arrow-bucketed LSH ANN (BLAS sign-bit planes, ids-only bucket join,
+    exact rescore) — same oracle as ann_lsh."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return (SIM.lsh_bucket_topk_arrow(emb, q, KNN_K)
+            .select("query_id", "target_id", F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
 def q_ann_quant(spark, sf_dir):
     """Two-stage int8 re-rank ANN: integer top-m prefilter (8x fewer bytes
     through the scan/shuffle at scale), exact double rescore of survivors."""
@@ -800,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_cosine_fast": q_ann_cosine_fast,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_fast": q_ann_lsh_fast,
         "ann_quant": q_ann_quant,
         "ann_ivf": q_ann_ivf,
         "near_dup": q_near_dup,
@@ -899,6 +910,8 @@ def oracle_sql() -> dict[str, str]:
                             + " ORDER BY query_id, rank"),
         "ann_lsh": (SIM.lsh_bucket_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                     + " ORDER BY query_id, rank"),
+        "ann_lsh_fast": (SIM.lsh_bucket_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
+                         + " ORDER BY query_id, rank"),
         "ann_quant": (SIM.quantized_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                       + " ORDER BY query_id, rank"),
         "ann_ivf": (SIM.ivf_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)

@@ -148,7 +148,7 @@ def main():
     # number can't tell a regression from a stall
     for name in ["pip_join", "pip_join_distributed", "tile_assignment",
                  "tile_rollup", "knn", "range_join", "minhash_lsh", "simhash",
-                 "ann_cosine", "ann_cosine_fast", "ann_lsh", "ann_ivf",
+                 "ann_cosine", "ann_cosine_fast", "ann_lsh", "ann_lsh_fast", "ann_ivf",
                  "ann_quant", "near_dup",
                  "agg_lineitem", "events_sessionize"]:
         best = None

@@ -642,3 +642,70 @@ def cosine_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
     return (partial.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "target_id", "rank"))
+
+
+def _buckets_arrow(df: DataFrame, id_name: str, vec_name: str, dim: int,
+                   out_name: str = "bucket") -> DataFrame:
+    """(id, bucket) via one BLAS matmul per Arrow batch against the
+    precomputed plane matrix — the vectorized twin of
+    :func:`bucket_key_col` (whose 8 interpreted fold-lambdas dominate the
+    LSH wall time; HOFs are never codegen'd).  Sign bits agree with the
+    sequential fold unless a projection ties zero within ulps (measure-zero
+    on real embeddings; equality on the test corpora pinned by pytest)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.array(_plane_weights(dim), dtype=np.float64)  # P x dim
+    powers = (1 << np.arange(N_PLANES)).astype(np.int64)
+
+    schema = T.StructType([
+        T.StructField(id_name, T.LongType()),
+        T.StructField(out_name, T.LongType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_name].to_numpy(dtype=np.int64)
+            vecs = np.array(list(pdf[vec_name]), dtype=np.float64)
+            proj = vecs @ planes.T                      # B x P
+            buckets = ((proj > 0) @ powers).astype(np.int64)
+            yield pd.DataFrame({id_name: ids, out_name: buckets})
+
+    return df.select(F.col(id_name),
+                     F.col(vec_name).cast("array<double>").alias(vec_name)) \
+             .mapInPandas(score, schema)
+
+
+def lsh_bucket_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int | None = None) -> DataFrame:
+    """Arrow-bucketed twin of :func:`lsh_bucket_topk` (multiprobe on):
+    buckets via BLAS (ids-only frames — vectors never ride the bucket
+    join), exact HOF rescore of the small candidate sets, identical
+    ranking.  Same oracle as the Column path."""
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
+    t = embeddings.select(F.col(id_col).alias("target_id"),
+                          F.col(vec_col).cast("array<double>").alias("tvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    tb = _buckets_arrow(embeddings.select(F.col(id_col).alias("target_id"),
+                                          F.col(vec_col).alias("v")),
+                        "target_id", "v", dim)
+    qb0 = _buckets_arrow(queries.select(F.col(id_col).alias("query_id"),
+                                        F.col(vec_col).alias("v")),
+                         "query_id", "v", dim, out_name="qbucket")
+    probes = F.array(F.col("qbucket"),
+                     *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
+    qb = qb0.withColumn("bucket", F.explode(probes)).drop("qbucket")
+    cand = (tb.join(F.broadcast(qb), "bucket")
+            .filter(F.col("target_id") != F.col("query_id"))
+            .select("query_id", "target_id")
+            .join(t, "target_id").join(q, "query_id"))
+    cos = _cosine(F.col("qvec"), F.col("tvec"))
+    scored = cand.select("query_id", "target_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "target_id", "rank"))

@@ -334,3 +334,13 @@ def test_cosine_topk_arrow_equals_hof(spark, sf_dir):
     hof = _sorted_rows(S.cosine_topk(both, q, 5))
     arrow = _sorted_rows(S.cosine_topk_arrow(both, q, 5))
     assert arrow == hof
+
+
+def test_lsh_bucket_topk_arrow_equals_column(spark, sf_dir):
+    """BLAS sign-bit bucketing must reproduce the Column path exactly on
+    the test corpus (a flip needs a projection tying zero within ulps)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    col_path = _sorted_rows(S.lsh_bucket_topk(emb, q, 5))
+    arrow_path = _sorted_rows(S.lsh_bucket_topk_arrow(emb, q, 5))
+    assert arrow_path == col_path
