@@ -374,6 +374,16 @@ def q_ann_ivf(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_ann_ivf_fast(spark, sf_dir):
+    """Arrow-assigned IVF ANN (BLAS centroid assignment, identical list
+    join + exact rescore) — same oracle as ann_ivf."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return (SIM.ivf_topk_arrow(emb, q, KNN_K)
+            .select("query_id", "target_id", F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % 25 == 0)
@@ -813,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_fast": q_ann_lsh_fast,
         "ann_quant": q_ann_quant,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_fast": q_ann_ivf_fast,
         "near_dup": q_near_dup,
         "near_dup_capped": q_near_dup_capped,
         "visibility": q_visibility,
@@ -916,6 +927,8 @@ def oracle_sql() -> dict[str, str]:
                       + " ORDER BY query_id, rank"),
         "ann_ivf": (SIM.ivf_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                     + " ORDER BY query_id, rank"),
+        "ann_ivf_fast": (SIM.ivf_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
+                         + " ORDER BY query_id, rank"),
         "near_dup": _near_dup_oracle(),
         "near_dup_capped": _near_dup_oracle(max_bucket_freq=BUCKET_CAP),
         # --- ray-walk oracles (recursive-CTE float32 twins) ---

@@ -709,3 +709,83 @@ def lsh_bucket_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "target_id", "rank"))
+
+
+def ivf_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_probe: int = IVF_NPROBE,
+                   n_centroids: int = IVF_CENTROID_BUDGET,
+                   n_vectors: int | None = None) -> DataFrame:
+    """Arrow-assigned twin of :func:`ivf_topk`: the centroid table (a fixed
+    budget, so always driver-small) is collected once and every Arrow batch
+    assigns its vectors with one BLAS cosine matrix — the Column path's
+    interpreted per-row centroid cosines were the dominant cost.  Ties
+    break to the lowest centroid id exactly like the Column/SQL paths; the
+    list equi-join and the exact HOF rescore are identical, so the same
+    oracle applies (assignment flips would need a cosine tie within ulps).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n = n_vectors if n_vectors is not None else embeddings.count()
+    mod = _centroid_modulus(n, n_centroids)
+    crows = (embeddings.filter(F.col(id_col) % mod == 0)
+             .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+             .collect())
+    if not crows:
+        raise ValueError("ivf_topk_arrow: empty centroid set")
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat = np.divide(cmat, np.where(cn > 0, cn, 1.0))
+    zero_cent = (cn[:, 0] == 0)
+
+    def assign(keep: int, out_id: str):
+        schema = T.StructType([T.StructField(out_id, T.LongType()),
+                               T.StructField("list_id", T.LongType())])
+
+        def run(batches):
+            for pdf in batches:
+                ids = pdf[out_id].to_numpy(dtype=np.int64)
+                vmat = np.array(list(pdf["__vec"]), dtype=np.float64)
+                vn = np.linalg.norm(vmat, axis=1, keepdims=True)
+                vmat = np.divide(vmat, np.where(vn > 0, vn, 1.0))
+                cos = vmat @ cmat.T                     # B x C
+                # zero-norm pairs score 0.0 (the _cosine guard's semantics)
+                cos[:, zero_cent] = 0.0
+                cos[vn[:, 0] == 0, :] = 0.0
+                out_i, out_l = [], []
+                for b in range(cos.shape[0]):
+                    order = np.lexsort((cids, -cos[b]))[:keep]
+                    out_i.append(np.full(len(order), ids[b], dtype=np.int64))
+                    out_l.append(cids[order])
+                yield pd.DataFrame({
+                    out_id: np.concatenate(out_i) if out_i else np.array([], dtype=np.int64),
+                    "list_id": np.concatenate(out_l) if out_l else np.array([], dtype=np.int64),
+                })
+        return run, schema
+
+    t_src = embeddings.select(F.col(id_col).alias("target_id"),
+                              F.col(vec_col).cast("array<double>").alias("__vec"))
+    q_src = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).cast("array<double>").alias("__vec"))
+    run_t, sch_t = assign(1, "target_id")
+    run_q, sch_q = assign(n_probe, "query_id")
+    t_assigned = t_src.mapInPandas(run_t, sch_t)
+    q_probed = q_src.mapInPandas(run_q, sch_q)
+
+    t = embeddings.select(F.col(id_col).alias("target_id"),
+                          F.col(vec_col).cast("array<double>").alias("tvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    cand = (t_assigned.join(F.broadcast(q_probed), "list_id")
+            .filter(F.col("target_id") != F.col("query_id"))
+            .select("query_id", "target_id")
+            .join(t, "target_id").join(q, "query_id"))
+    cos = _cosine(F.col("qvec"), F.col("tvec"))
+    scored = cand.select("query_id", "target_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "target_id", "rank"))

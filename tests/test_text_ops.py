@@ -344,3 +344,13 @@ def test_lsh_bucket_topk_arrow_equals_column(spark, sf_dir):
     col_path = _sorted_rows(S.lsh_bucket_topk(emb, q, 5))
     arrow_path = _sorted_rows(S.lsh_bucket_topk_arrow(emb, q, 5))
     assert arrow_path == col_path
+
+
+def test_ivf_topk_arrow_equals_column(spark, sf_dir):
+    """BLAS centroid assignment must reproduce the Column path exactly on
+    the test corpus (same tie-break: max cosine, then min centroid id)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    col_path = _sorted_rows(S.ivf_topk(emb, q, 5))
+    arrow_path = _sorted_rows(S.ivf_topk_arrow(emb, q, 5))
+    assert arrow_path == col_path
