@@ -351,6 +351,21 @@ def q_near_dup_capped(spark, sf_dir):
             .orderBy("a", "b"))
 
 
+def q_near_dup_fast(spark, sf_dir):
+    """Arrow-bucketed near-dup pairs (same injected-dup corpus and oracle
+    as near_dup; BLAS sign-bit buckets)."""
+    emb = _emb(spark, sf_dir)
+    pert = (F.concat(
+        F.array((F.element_at(F.col("embedding"), 1) + F.lit(0.25)).cast("float")),
+        F.slice(F.col("embedding"), 2, F.size(F.col("embedding")) - 1)))
+    dups = (emb.filter(F.col("vec_id") % NEAR_DUP_MOD == 0)
+            .select((F.col("vec_id") + NEAR_DUP_OFFSET).alias("vec_id"),
+                    pert.alias("embedding")))
+    both = emb.select("vec_id", "embedding").unionByName(dups)
+    return (SIM.near_dup_pairs(both, NEAR_DUP_THRESH, mode="lsh", impl="arrow")
+            .orderBy("a", "b"))
+
+
 def _near_dup_oracle(max_bucket_freq: int | None = None) -> str:
     inner = SIM.near_dup_pairs_sql("emb_both", NEAR_DUP_THRESH, mode="lsh",
                                    max_bucket_freq=max_bucket_freq)
@@ -825,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_fast": q_ann_ivf_fast,
         "near_dup": q_near_dup,
+        "near_dup_fast": q_near_dup_fast,
         "near_dup_capped": q_near_dup_capped,
         "visibility": q_visibility,
         "visibility_region": q_visibility_region,
@@ -930,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_fast": (SIM.ivf_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                          + " ORDER BY query_id, rank"),
         "near_dup": _near_dup_oracle(),
+        "near_dup_fast": _near_dup_oracle(),
         "near_dup_capped": _near_dup_oracle(max_bucket_freq=BUCKET_CAP),
         # --- ray-walk oracles (recursive-CTE float32 twins) ---
         "visibility": f"""

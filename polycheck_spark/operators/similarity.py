@@ -324,7 +324,8 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
 def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20), *,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    mode: str = "lsh", dim: int | None = None,
-                   max_bucket_freq: int | None = None) -> DataFrame:
+                   max_bucket_freq: int | None = None,
+                   impl: str = "column") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
     cosine(a, b) >= num/den.
 
@@ -357,16 +358,29 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
         # needed: a vector has ONE exact bucket and the multiprobe keys of
         # the other side are pairwise distinct, so each (a, b) pair joins
         # at most once (invariant pinned by
-        # test_ann_outputs_have_no_duplicate_pairs)
-        tb = t.select("a", bucket_key_col(F.col("avec"), dim).alias("bucket"))
+        # test_ann_outputs_have_no_duplicate_pairs).
+        # impl='arrow' swaps the interpreted fold-lambda bucketer for the
+        # BLAS batch matmul (:func:`_buckets_arrow`) — same buckets unless
+        # a projection ties zero within ulps.
+        if impl == "arrow":
+            tb = _buckets_arrow(embeddings.select(F.col(id_col).alias("a"),
+                                                  F.col(vec_col).alias("v")),
+                                "a", "v", dim)
+        else:
+            tb = t.select("a", bucket_key_col(F.col("avec"), dim).alias("bucket"))
         if max_bucket_freq is not None:
             cool = (tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bf"))
                     .filter(F.col("bf") <= max_bucket_freq).select("bucket"))
             tb = tb.join(cool, "bucket", "left_semi")
         probes = F.array(F.col("qbucket"),
                          *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
-        ub = (u.select("b", bucket_key_col(F.col("bvec"), dim).alias("qbucket"))
-               .withColumn("bucket", F.explode(probes)).drop("qbucket"))
+        if impl == "arrow":
+            ub0 = _buckets_arrow(embeddings.select(F.col(id_col).alias("b"),
+                                                   F.col(vec_col).alias("v")),
+                                 "b", "v", dim, out_name="qbucket")
+        else:
+            ub0 = u.select("b", bucket_key_col(F.col("bvec"), dim).alias("qbucket"))
+        ub = ub0.withColumn("bucket", F.explode(probes)).drop("qbucket")
         if max_bucket_freq is not None:
             ub = ub.join(cool, "bucket", "left_semi")
         cand_ids = (tb.join(ub, "bucket").filter(F.col("a") < F.col("b"))

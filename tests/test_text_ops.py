@@ -354,3 +354,11 @@ def test_ivf_topk_arrow_equals_column(spark, sf_dir):
     col_path = _sorted_rows(S.ivf_topk(emb, q, 5))
     arrow_path = _sorted_rows(S.ivf_topk_arrow(emb, q, 5))
     assert arrow_path == col_path
+
+
+def test_near_dup_arrow_equals_column(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    col_path = _sorted_rows(S.near_dup_pairs(emb, (3, 5), mode="lsh"))
+    arrow_path = _sorted_rows(S.near_dup_pairs(emb, (3, 5), mode="lsh",
+                                               impl="arrow"))
+    assert arrow_path == col_path
