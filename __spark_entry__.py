@@ -427,6 +427,17 @@ def q_ann_quant(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_ann_quant_fast(spark, sf_dir):
+    """Arrow int8 two-stage ANN: per-batch integer matmul + per-batch top-m
+    replaces stage 1's full N x Q window sort; integer scores are
+    bit-identical across engines, so it shares ann_quant's SQL oracle."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return (SIM.quantized_topk_arrow(emb, q, KNN_K)
+            .select("query_id", "target_id", F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
 # --- raster / sensor / scan pipelines ---------------------------------------
 # Every walk query now has a DuckDB recursive-CTE oracle
 # (polycheck_spark/data/walk_oracles.py) replicating the float32/double
@@ -806,6 +817,12 @@ def q_distinct_tiles_per_lang(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering policy: the driver records a per-round prefix of this dict
+    # (r1: 30, r2: 40, r3: 50 rows), so entries are ordered unique-operator
+    # first.  The tail holds twins whose equality with an earlier-recorded
+    # entry is ALSO pinned by pytest (arrow-vs-column tests) and whose
+    # oracle is shared — the least information is lost if a prefix cut
+    # lands there.
     return {
         "pip_join": q_pip_join,
         "pip_join_partitioned": q_pip_join_partitioned,
@@ -830,18 +847,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "minhash_lsh_capped": q_minhash_lsh_capped,
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
-        "ann_cosine_fast": q_ann_cosine_fast,
         "ann_lsh": q_ann_lsh,
-        "ann_lsh_fast": q_ann_lsh_fast,
         "ann_quant": q_ann_quant,
+        "ann_quant_fast": q_ann_quant_fast,
         "ann_ivf": q_ann_ivf,
-        "ann_ivf_fast": q_ann_ivf_fast,
         "near_dup": q_near_dup,
-        "near_dup_fast": q_near_dup_fast,
-        "near_dup_capped": q_near_dup_capped,
         "visibility": q_visibility,
         "visibility_region": q_visibility_region,
         "visibility_real_region": q_visibility_real_region,
@@ -862,6 +874,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": q_dedup_apply,
         "set_ops": q_set_ops,
         "distinct_tiles_per_lang": q_distinct_tiles_per_lang,
+        "ann_cosine_fast": q_ann_cosine_fast,
+        "ann_lsh_fast": q_ann_lsh_fast,
+        "ann_ivf_fast": q_ann_ivf_fast,
+        "near_dup_fast": q_near_dup_fast,
+        "near_dup_capped": q_near_dup_capped,
+        "minhash_lsh_capped": q_minhash_lsh_capped,
     }
 
 
@@ -941,6 +959,8 @@ def oracle_sql() -> dict[str, str]:
                          + " ORDER BY query_id, rank"),
         "ann_quant": (SIM.quantized_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                       + " ORDER BY query_id, rank"),
+        "ann_quant_fast": (SIM.quantized_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
+                           + " ORDER BY query_id, rank"),
         "ann_ivf": (SIM.ivf_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                     + " ORDER BY query_id, rank"),
         "ann_ivf_fast": (SIM.ivf_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)

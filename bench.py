@@ -149,7 +149,8 @@ def main():
     for name in ["pip_join", "pip_join_distributed", "tile_assignment",
                  "tile_rollup", "knn", "range_join", "minhash_lsh", "simhash",
                  "ann_cosine", "ann_cosine_fast", "ann_lsh", "ann_lsh_fast", "ann_ivf",
-                 "ann_ivf_fast", "ann_quant", "near_dup", "near_dup_fast",
+                 "ann_ivf_fast", "ann_quant", "ann_quant_fast", "near_dup",
+                 "near_dup_fast",
                  "agg_lineitem", "events_sessionize"]:
         best = None
         for _ in range(2):

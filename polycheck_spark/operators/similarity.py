@@ -71,6 +71,21 @@ def _cos_sql(a: str, b: str) -> str:
     return f"(CASE WHEN {n2} > 0 THEN {dot} / sqrt({n2}) ELSE 0.0 END)"
 
 
+def _empty_ranked(df: DataFrame) -> DataFrame:
+    """Empty (query_id, target_id, rank) frame — what every top-k path
+    returns for an empty query set.  The Column paths get this for free
+    (broadcast join against zero rows); the Arrow paths collect the queries
+    driver-side first and must synthesize it so the fast twin stays a
+    drop-in replacement on the empty-filter edge case."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("target_id", T.LongType()),
+        T.StructField("rank", T.IntegerType(), False),
+    ])
+    return df.sparkSession.createDataFrame([], schema)
+
+
 def cosine_topk_sql(table: str, queries_filter: str, k: int,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> str:
     """DuckDB twin using explicit per-element sums (same math as zip_with)."""
@@ -146,7 +161,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     count is a FIXED budget, never O(N), so the centroid table stays
     broadcast-able at any data size.  Pass ``n_vectors`` (a known/estimated
     count — table stats, snapshot manifest) to skip the ``count()`` scan;
-    on parquet that count is footer-metadata-only anyway.  At 10^12 vectors
+    on parquet that count is footer-metadata-only anyway.  When verifying
+    against :func:`ivf_topk_sql`, pass the SAME ``n_vectors`` to the
+    emitter (its default recomputes ``COUNT(*)`` — correct only if the
+    Spark side counted exactly): any estimate that changes
+    ``N // n_centroids`` would silently select a different centroid set.  At 10^12 vectors
     set ``n_centroids ~ sqrt(N)`` (the classical IVF balance: assignment
     N*sqrt(N) dot products, probe lists of ~sqrt(N)); the default fixed 64
     is sized for the test corpora.
@@ -186,10 +205,16 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
 def ivf_topk_sql(table: str, queries_filter: str, k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_probe: int = IVF_NPROBE,
-                 n_centroids: int = IVF_CENTROID_BUDGET) -> str:
+                 n_centroids: int = IVF_CENTROID_BUDGET,
+                 n_vectors: int | None = None) -> str:
     """DuckDB twin of :func:`ivf_topk` (same centroids, same assignment).
-    The centroid modulus is computed in SQL from ``COUNT(*)`` — the same N
-    the Spark side counts, so both engines pick identical centroids."""
+
+    The centroid modulus comes from ``n_vectors`` when given — pass the SAME
+    value the Spark side was called with, so an estimated count still selects
+    identical centroids on both engines.  With ``n_vectors=None`` the modulus
+    is computed in SQL from ``COUNT(*)``, matching a Spark side that counted
+    exactly (the default).  Mixing an estimate on one side with an exact
+    count on the other would silently pick different centroid sets."""
     def assign(src: str, idc: str, vc: str, keep) -> str:
         return f"""
   SELECT {idc}, {vc}, cid AS list_id FROM (
@@ -199,8 +224,12 @@ def ivf_topk_sql(table: str, queries_filter: str, k: int,
                                        c.cid ASC) AS crank
     FROM {src} s CROSS JOIN cents c
   ) WHERE crank <= {keep}"""
+    if n_vectors is not None:
+        cmod = f"SELECT {_centroid_modulus(n_vectors, n_centroids)} AS m"
+    else:
+        cmod = f"SELECT GREATEST(1, COUNT(*) // {max(1, n_centroids)}) AS m FROM {table}"
     return f"""
-WITH cmod AS (SELECT GREATEST(1, COUNT(*) // {max(1, n_centroids)}) AS m FROM {table}),
+WITH cmod AS ({cmod}),
 cents AS (SELECT {id_col} AS cid,
                  list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cvec
           FROM {table} WHERE {id_col} % (SELECT m FROM cmod) = 0),
@@ -361,25 +390,28 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
         # test_ann_outputs_have_no_duplicate_pairs).
         # impl='arrow' swaps the interpreted fold-lambda bucketer for the
         # BLAS batch matmul (:func:`_buckets_arrow`) — same buckets unless
-        # a projection ties zero within ulps.
+        # a projection ties zero within ulps.  Both join sides derive from
+        # ONE bucketing pass: the (id, bucket) frame is eagerly
+        # localCheckpoint-ed (ids-only — 16 B/row, bounded at any scale),
+        # so the embeddings — the dominant scan — are read once for
+        # bucketing instead of once per side; the two self-join branches
+        # then scan the checkpointed RDD, not the source.
         if impl == "arrow":
-            tb = _buckets_arrow(embeddings.select(F.col(id_col).alias("a"),
+            bk = _buckets_arrow(embeddings.select(F.col(id_col).alias("vid"),
                                                   F.col(vec_col).alias("v")),
-                                "a", "v", dim)
+                                "vid", "v", dim).localCheckpoint()
+            tb = bk.select(F.col("vid").alias("a"), "bucket")
+            ub0 = bk.select(F.col("vid").alias("b"),
+                            F.col("bucket").alias("qbucket"))
         else:
             tb = t.select("a", bucket_key_col(F.col("avec"), dim).alias("bucket"))
+            ub0 = u.select("b", bucket_key_col(F.col("bvec"), dim).alias("qbucket"))
         if max_bucket_freq is not None:
             cool = (tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bf"))
                     .filter(F.col("bf") <= max_bucket_freq).select("bucket"))
             tb = tb.join(cool, "bucket", "left_semi")
         probes = F.array(F.col("qbucket"),
                          *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
-        if impl == "arrow":
-            ub0 = _buckets_arrow(embeddings.select(F.col(id_col).alias("b"),
-                                                   F.col(vec_col).alias("v")),
-                                 "b", "v", dim, out_name="qbucket")
-        else:
-            ub0 = u.select("b", bucket_key_col(F.col("bvec"), dim).alias("qbucket"))
         ub = ub0.withColumn("bucket", F.explode(probes)).drop("qbucket")
         if max_bucket_freq is not None:
             ub = ub.join(cool, "bucket", "left_semi")
@@ -614,7 +646,10 @@ def cosine_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
 
     qrows = queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
     if not qrows:
-        raise ValueError("cosine_topk_arrow: empty query set")
+        # match cosine_topk: a filter selecting no queries yields an empty
+        # result, not an error (the Column twin's broadcast join does this
+        # implicitly)
+        return _empty_ranked(embeddings)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -721,6 +756,101 @@ def lsh_bucket_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
     scored = cand.select("query_id", "target_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "target_id", "rank"))
+
+
+def quantized_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
+                         m: int = QUANT_TOPM,
+                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Arrow/NumPy twin of :func:`quantized_topk` — removes the full N x Q
+    window sort from stage 1.
+
+    The Column path scores every target against every query with an
+    interpreted HOF integer dot, then sorts ALL N rows per query to keep the
+    top ``m`` — a full sort-shuffle whose row count the int8 payload does
+    not shrink.  Here each Arrow batch quantizes its targets (the identical
+    floor(x * 127/max|x|) scheme — float64 multiply + floor, bit-identical
+    to the Column/SQL paths), computes the batch x query INTEGER dot matrix
+    (int64 matmul — exact), and keeps the per-batch top ``m`` per query
+    (idot desc, id asc lexsort); the final stage-1 window ranks only
+    O(m * n_batches) survivor rows.  Integer scores are engine-exact, so
+    the survivor SET — and therefore the exact-rescore stage-2 output — is
+    the same as :func:`quantized_topk` and shares its SQL oracle
+    (:func:`quantized_topk_sql`).
+
+    At 10^12 targets the int8 copy is what ships through the scan (8x fewer
+    bytes/dim than float64) and per-executor matmuls replace the global
+    sort — the same shape as :func:`cosine_topk_arrow`, with the integer
+    stage keeping bit-exactness that a float BLAS stage cannot.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
+    if not qrows:
+        return _empty_ranked(embeddings)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+
+    def quant_np(mat: "np.ndarray") -> "np.ndarray":
+        # same arithmetic as the Column/SQL quantizer: scale = 127/max|x|
+        # (0 for the zero vector), value = floor(x * scale) — float64
+        # multiply then floor, so every int matches both engines exactly
+        mx = np.abs(mat).max(axis=1, keepdims=True)
+        scale = np.divide(127.0, mx, out=np.zeros_like(mx), where=mx > 0)
+        return np.floor(mat * scale).astype(np.int64)
+
+    qq = quant_np(qmat)                                  # Q x D int64
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("target_id", T.LongType()),
+        T.StructField("idot", T.LongType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            tq = quant_np(np.array(list(pdf["__vec"]), dtype=np.float64))
+            idot = tq @ qq.T                             # B x Q, exact int64
+            mm = min(m, idot.shape[0])
+            out_q, out_t, out_d = [], [], []
+            for j in range(idot.shape[1]):
+                keep = np.flatnonzero(ids != qids[j])    # self-matches out
+                order = keep[np.lexsort((ids[keep], -idot[keep, j]))][:mm]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_t.append(ids[order])
+                out_d.append(idot[order, j])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q) if out_q else np.array([], dtype=np.int64),
+                "target_id": np.concatenate(out_t) if out_t else np.array([], dtype=np.int64),
+                "idot": np.concatenate(out_d) if out_d else np.array([], dtype=np.int64),
+            })
+
+    src = embeddings.select(F.col(id_col).alias("__id"),
+                            F.col(vec_col).cast("array<double>").alias("__vec"))
+    partial = src.mapInPandas(score, schema)
+    w1 = Window.partitionBy("query_id").orderBy(F.col("idot").desc(),
+                                                F.col("target_id").asc())
+    survivors = (partial.withColumn("mrank", F.row_number().over(w1))
+                 .filter(F.col("mrank") <= m)
+                 .select("query_id", "target_id"))
+
+    # stage 2: identical exact-double rescore of the m survivors per query
+    t = embeddings.select(F.col(id_col).alias("target_id"),
+                          F.col(vec_col).cast("array<double>").alias("tvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    cand = survivors.join(t, "target_id").join(
+        q.withColumnRenamed("query_id", "qid2"),
+        F.col("query_id") == F.col("qid2")).drop("qid2")
+    cos = _cosine(F.col("qvec"), F.col("tvec"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("target_id").asc())
+    return (cand.select("query_id", "target_id", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select("query_id", "target_id", "rank"))
 

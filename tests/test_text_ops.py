@@ -315,6 +315,7 @@ def test_ann_outputs_have_no_duplicate_pairs(spark, sf_dir):
     q = emb.filter(F.col("vec_id") % 25 == 0)
     for df, keys in ((S.lsh_bucket_topk(emb, q, 5), ("query_id", "target_id")),
                      (S.ivf_topk(emb, q, 5), ("query_id", "target_id")),
+                     (S.quantized_topk_arrow(emb, q, 5), ("query_id", "target_id")),
                      (S.near_dup_pairs(emb, (3, 5), mode="lsh"), ("a", "b"))):
         rows = [tuple(r[k] for k in keys) for r in df.select(*keys).collect()]
         assert len(rows) == len(set(rows)), keys
@@ -362,3 +363,32 @@ def test_near_dup_arrow_equals_column(spark, sf_dir):
     arrow_path = _sorted_rows(S.near_dup_pairs(emb, (3, 5), mode="lsh",
                                                impl="arrow"))
     assert arrow_path == col_path
+
+
+def test_quantized_topk_arrow_equals_column(spark, sf_dir):
+    """The int8 Arrow path must reproduce the Column path EXACTLY — not
+    ulp-robustly: quantized ints and integer dots are bit-identical, so the
+    stage-1 survivor set (ties broken by id) and the stage-2 ranking are
+    the same by construction.  Includes the zero vector (scale 0)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.createDataFrame([(777_000, [0.0] * dim)],
+                                 "vec_id long, embedding array<double>")
+    both = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding")).unionByName(zero)
+    q = both.filter(F.col("vec_id") % 50 == 0)
+    col_path = _sorted_rows(S.quantized_topk(both, q, 5))
+    arrow_path = _sorted_rows(S.quantized_topk_arrow(both, q, 5))
+    assert arrow_path == col_path
+
+
+def test_arrow_twins_empty_query_set(spark, sf_dir):
+    """A filter matching no queries must yield an empty frame with the
+    (query_id, target_id, rank) schema — matching the Column twins, which
+    get that behavior from the broadcast join — not raise (ADVICE r3)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    none = emb.filter(F.col("vec_id") < 0)
+    for fn in (S.cosine_topk_arrow, S.quantized_topk_arrow):
+        out = fn(emb, none, 5)
+        assert out.columns == ["query_id", "target_id", "rank"]
+        assert out.count() == 0
