@@ -261,42 +261,37 @@ def tile_rollup(points: DataFrame, res_fine: int, res_coarse: int,
     in [res_coarse, res_fine] — the hypertable-rollup / map-tile
     pre-aggregation pattern.
 
-    Points are scanned and shuffled ONCE (the fine-level groupBy); every
-    coarser level aggregates the PREVIOUS level's counts through the Morton
-    parent bit-shift (cells.parent_col), so level r+1 -> r shuffles 4x less
-    data than the one before — total rollup traffic is ~1/3 of the fine
-    level regardless of depth, where re-aggregating the raw points per level
-    would cost depth x full shuffles.  Each level is cached explicitly:
-    Spark does NOT reuse a subtree across union branches here (verified —
-    without the cache the naive union plan rescans the points once PER
-    level; exchange reuse does not fire across the differing branch tops),
-    and a level is at most 4^res rows (cell-count bounded, independent of
-    input size), so the cached pyramid is small at any scale.  All
-    arithmetic is integer Column expressions; sums are exact (counts, or
-    integer/decimal weights).
+    Points are scanned and shuffled ONCE (the fine-level groupBy); then each
+    fine cell explodes to its ancestor chain — (res, parent_cell) for every
+    level, via the Morton parent bit-shift (cells.parent_col), pure integer
+    Column expressions — and ONE second aggregation sums the pyramid.  The
+    whole rollup is a single LINEAR lazy plan: two shuffles total, no union,
+    no caching, nothing persisted after the action (the cached-cascade
+    alternative held every level in executor memory with no safe point to
+    unpersist a lazily-returned frame — an r3 review finding).  The second
+    shuffle carries at most depth x 4^res_fine tiny (res, cell, count) rows
+    — cell-count bounded, independent of input size — and map-side combine
+    collapses it further wherever the fine aggregation's partitions are
+    spatially clustered.  Sums are exact (counts, or integer/decimal
+    weights); sum-of-counts associativity makes the exploded rollup equal a
+    per-level direct aggregation, which is exactly what the SQL oracle
+    computes.
     """
     if not 0 <= res_coarse <= res_fine:
         raise ValueError("need 0 <= res_coarse <= res_fine")
     agg0 = (F.count(F.lit(1)) if weight_col is None
             else F.sum(weight_col)).alias("n_docs")
     fine = (assign_tiles(points, res=res_fine, lon_col=lon_col, lat_col=lat_col)
-            .groupBy("cell_id").agg(agg0)
-            .select(F.lit(res_fine).alias("res"), "cell_id", "n_docs")
-            .cache())
-    levels = [fine]
-    prev = fine
-    for r in range(res_fine - 1, res_coarse - 1, -1):
-        nxt = (prev.groupBy(
-                   C.parent_col(F.col("cell_id"), r + 1, r).alias("cell_id"))
-               .agg(F.sum("n_docs").alias("n_docs"))
-               .select(F.lit(r).alias("res"), "cell_id", "n_docs")
-               .cache())
-        levels.append(nxt)
-        prev = nxt
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionAll(lv)
-    return out
+            .groupBy("cell_id").agg(agg0))
+    ancestors = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("res"),
+                 C.parent_col(F.col("cell_id"), res_fine, r).alias("cell_id"))
+        for r in range(res_fine, res_coarse - 1, -1)]))
+    return (fine.select(ancestors.alias("lv"), "n_docs")
+            .groupBy(F.col("lv.res").alias("res"),
+                     F.col("lv.cell_id").alias("cell_id"))
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .select("res", "cell_id", "n_docs"))
 
 
 def tile_rollup_sql(points_cte: str, res_fine: int, res_coarse: int) -> str:

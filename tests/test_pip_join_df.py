@@ -78,10 +78,11 @@ def test_tile_rollup_pyramid_consistency(spark, sf_dir):
 
 
 def test_tile_rollup_scans_points_once(spark):
-    """The union of pyramid levels must NOT re-read the source per level
-    (Spark does not reuse subtrees across union branches — the per-level
-    cache is what guarantees one pass). Counted with an accumulator on an
-    RDD-backed source: exactly n row-reads, not n * levels."""
+    """The pyramid must NOT re-read the source per level (the linear
+    explode-ancestors plan guarantees one pass by construction; a naive
+    per-level union would rescan once per level). Counted with an
+    accumulator on an RDD-backed source: exactly n row-reads, not
+    n * levels."""
     from pyspark.sql import types as T
     from polycheck_spark.operators import pip_join as PJ
     n = 1000
@@ -102,6 +103,31 @@ def test_tile_rollup_scans_points_once(spark):
     total = out.count()
     assert total > 0
     assert acc.value == n, f"source rows read {acc.value} times, expected {n}"
+
+
+def test_tile_rollup_leaves_nothing_persisted(spark):
+    """tile_rollup is a lazy linear plan: after the caller's action
+    completes, no RDD may remain persisted (the r3 cached-cascade held
+    every pyramid level in executor memory with no unpersist point)."""
+    from pyspark.sql import functions as F
+    from polycheck_spark.operators import pip_join as PJ
+    def persisted_ids():
+        # other tests share this session (localCheckpoints linger until
+        # GC), so assert rollup adds NOTHING, not global emptiness
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    before = persisted_ids()
+    pts = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(360)) - 180).cast("double").alias("lon"),
+        (F.pmod(F.col("id") * 53, F.lit(180)) - 90).cast("double").alias("lat"))
+    assert PJ.tile_rollup(pts, res_fine=10, res_coarse=4).count() > 0
+    added = persisted_ids() - before
+    assert not added, added
 
 
 def test_tile_rollup_weighted(spark, sf_dir):
