@@ -355,6 +355,17 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # the loop exhausted max_iters with labels still moving: the result
+        # is a valid UPPER BOUND on cluster labels but not the fixpoint —
+        # surface it instead of silently returning partial clusters
+        # (reachable with tiny max_iters or extreme-diameter graphs)
+        import warnings
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} rounds "
+            f"(labels still changing) — returning partially-propagated "
+            f"labels; raise max_iters (pointer jumping needs O(log n) rounds)",
+            RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

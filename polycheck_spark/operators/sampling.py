@@ -28,8 +28,15 @@ def _bucket(key_col, salt: str, den: int):
     return F.pmod(h, F.lit(den))
 
 
+def _sq(value: str) -> str:
+    """SQL single-quote escape for interpolated salt/stratum literals — the
+    Spark side takes any string through F.lit, so the emitters must too
+    (a salt like "it's" previously produced a broken oracle query)."""
+    return value.replace("'", "''")
+
+
 def _bucket_sql(key_expr: str, salt: str, den: int) -> str:
-    return (f"(CAST('0x' || substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), 1, 8) "
+    return (f"(CAST('0x' || substr(md5('{_sq(salt)}:' || CAST({key_expr} AS VARCHAR)), 1, 8) "
             f"AS BIGINT) % {den})")
 
 
@@ -85,8 +92,8 @@ def stratified_sample_sql(table: str, key_expr: str, stratum_col: str,
     num_c = str(default_rate[0])
     den_c = str(default_rate[1])
     for s, (num, den) in sorted(rates.items()):
-        num_c = f"CASE WHEN {stratum_col} = '{s}' THEN {num} ELSE {num_c} END"
-        den_c = f"CASE WHEN {stratum_col} = '{s}' THEN {den} ELSE {den_c} END"
-    h = (f"CAST('0x' || substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), 1, 8) "
+        num_c = f"CASE WHEN {stratum_col} = '{_sq(s)}' THEN {num} ELSE {num_c} END"
+        den_c = f"CASE WHEN {stratum_col} = '{_sq(s)}' THEN {den} ELSE {den_c} END"
+    h = (f"CAST('0x' || substr(md5('{_sq(salt)}:' || CAST({key_expr} AS VARCHAR)), 1, 8) "
          f"AS BIGINT)")
     return f"SELECT * FROM {table} WHERE ({h} % ({den_c})) < ({num_c})"

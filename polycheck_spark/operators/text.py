@@ -99,31 +99,75 @@ FROM {table}
 
 # --- language identification --------------------------------------------------
 
+# Unicode script ranges for non-Latin languages: a single char in one of
+# these scripts is stronger evidence than any stopword count, so script
+# votes take precedence over the Latin stopword vote.  Ranges are BMP-only
+# (length() counts code points identically in Spark and DuckDB there) and
+# the class literals are embedded as the same UTF-8 characters in both
+# regex engines (Java util.regex and RE2 agree on literal-range classes).
+SCRIPT_RANGES = {
+    "zh": "一-鿿",     # CJK Unified Ideographs
+    "ru": "Ѐ-ӿ",     # Cyrillic
+    "ar": "؀-ۿ",     # Arabic
+}
+
+
+def _script_chars(text_col, rng: str):
+    """Count of characters inside the script range: strip everything else,
+    measure what remains (one regexp pass per script)."""
+    return F.length(F.regexp_replace(text_col, f"[^{rng}]", ""))
+
+
+def _script_chars_sql(text_expr: str, rng: str) -> str:
+    return f"length(regexp_replace({text_expr}, '[^{rng}]', '', 'g'))"
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-vote language guess with deterministic tie-break en > de > fr."""
+    """Language guess: script-range character votes for zh/ru/ar (any
+    non-Latin script present wins, tie-break zh > ru > ar), else the Latin
+    stopword vote with deterministic tie-break en > de > fr.
+
+    Pure Column expressions both stages — no UDFs; the DuckDB twin
+    (:func:`lang_id_sql`) evaluates the identical ranges and stopword sets,
+    so the whole operator is oracle-checkable."""
     toks = tokens_col(F.col(text_col))
     hits = {lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
             for lang, words in STOPWORDS.items()}
-    guess = (F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
+    sc = {lang: _script_chars(F.col(text_col), rng)
+          for lang, rng in SCRIPT_RANGES.items()}
+    guess = (F.when((sc["zh"] > 0) & (sc["zh"] >= sc["ru"]) & (sc["zh"] >= sc["ar"]), "zh")
+              .when((sc["ru"] > 0) & (sc["ru"] >= sc["ar"]), "ru")
+              .when(sc["ar"] > 0, "ar")
+              .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
               .when(hits["de"] >= hits["fr"], "de")
               .otherwise("fr"))
     return docs.select(F.col(id_col), guess.alias("lang_guess"),
                        hits["en"].alias("en_hits"), hits["de"].alias("de_hits"),
-                       hits["fr"].alias("fr_hits"))
+                       hits["fr"].alias("fr_hits"),
+                       sc["zh"].alias("zh_chars"), sc["ru"].alias("ru_chars"),
+                       sc["ar"].alias("ar_chars"))
 
 
 def lang_id_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
     t = _tokens_sql(text_col)
     h = {lang: f"len(list_filter({t}, x -> x in ({', '.join(repr(w) for w in words)})))"
          for lang, words in STOPWORDS.items()}
+    s = {lang: _script_chars_sql(text_col, rng)
+         for lang, rng in SCRIPT_RANGES.items()}
     return f"""
 SELECT {id_col},
-       CASE WHEN {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']} THEN 'en'
+       CASE WHEN {s['zh']} > 0 AND {s['zh']} >= {s['ru']} AND {s['zh']} >= {s['ar']} THEN 'zh'
+            WHEN {s['ru']} > 0 AND {s['ru']} >= {s['ar']} THEN 'ru'
+            WHEN {s['ar']} > 0 THEN 'ar'
+            WHEN {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']} THEN 'en'
             WHEN {h['de']} >= {h['fr']} THEN 'de'
             ELSE 'fr' END AS lang_guess,
        CAST({h['en']} AS INT) AS en_hits,
        CAST({h['de']} AS INT) AS de_hits,
-       CAST({h['fr']} AS INT) AS fr_hits
+       CAST({h['fr']} AS INT) AS fr_hits,
+       CAST({s['zh']} AS INT) AS zh_chars,
+       CAST({s['ru']} AS INT) AS ru_chars,
+       CAST({s['ar']} AS INT) AS ar_chars
 FROM {table}
 """
 

@@ -101,6 +101,34 @@ def test_sample_hash_rejects_bad_rate(spark, sf_dir):
         SA.sample_hash(docs, "doc_id", (11, 10))
 
 
+def test_sampling_sql_escapes_quotes(spark, tmp_path):
+    """A salt or stratum value containing a single quote must produce a
+    working, semantically-identical oracle query (ADVICE r3: the emitters
+    interpolated them unescaped while the Spark path handled them fine)."""
+    import duckdb
+    rows = [(i, "it's" if i % 3 == 0 else "l'autre") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    path = str(tmp_path / "qdocs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW qdocs AS SELECT * FROM read_parquet('{path}/*.parquet')")
+
+    spark_ids = {r["doc_id"] for r in
+                 SA.sample_hash(docs, "doc_id", (3, 10), salt="o'salt").collect()}
+    duck_ids = {r[0] for r in con.execute(
+        SA.sample_hash_sql("qdocs", "doc_id", (3, 10), salt="o'salt")).fetchall()}
+    assert spark_ids == duck_ids and spark_ids
+
+    rates = {"it's": (1, 2), "l'autre": (1, 3)}
+    spark_ids = {r["doc_id"] for r in
+                 SA.stratified_sample(docs, "doc_id", "lang", rates,
+                                      default_rate=(1, 1), salt="o'salt").collect()}
+    duck_ids = {r[0] for r in con.execute(
+        SA.stratified_sample_sql("qdocs", "doc_id", "lang", rates,
+                                 default_rate=(1, 1), salt="o'salt")).fetchall()}
+    assert spark_ids == duck_ids and spark_ids
+
+
 def test_sampling_plans_have_no_shuffle(spark, sf_dir):
     """Both samplers must stay pure map-side filters — zero exchanges."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

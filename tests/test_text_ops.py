@@ -41,6 +41,32 @@ def test_lang_id(spark, sf_dir, docs):
     assert got == exp
 
 
+def test_lang_id_script_ranges(spark, tmp_path):
+    """Non-Latin scripts must win over the stopword vote, with identical
+    classification in both engines (Java regex and RE2 must agree on the
+    literal-range classes — pinned cross-engine on real script text)."""
+    rows = [
+        (0, "the of and to in is that it for a plain english sentence"),
+        (1, "这是一个中文文档 的 网页 内容 with some ascii noise"),
+        (2, "это русский текст страницы and the of"),
+        (3, "هذا نص عربي من صفحة ويب"),
+        (4, "der die das und ist nicht ein mit"),
+        (5, "mixed 中文 and русский равные"),  # ru chars > zh chars -> ru
+        (6, ""),                                 # empty: falls to en tie-break
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_guess"] for r in TX.lang_id(docs).collect()}
+    assert out == {0: "en", 1: "zh", 2: "ru", 3: "ar", 4: "de", 5: "ru", 6: "en"}
+
+    path = str(tmp_path / "script_docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW sdocs AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    got = _sorted_rows(TX.lang_id(docs))
+    exp = sorted(con.execute(TX.lang_id_sql("sdocs")).fetchall())
+    assert got == exp
+
+
 def test_fingerprints(spark, sf_dir, docs):
     got = _sorted_rows(TX.fingerprints(docs))
     exp = sorted(_duck(sf_dir, TX.fingerprints_sql("documents")))
@@ -280,6 +306,21 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     got = {(r["id"], r["cluster_id"]) for r in
            D.connected_components(verts, edges, max_iters=10).collect()}
     assert got == {(i, 0) for i in range(n)}
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    """Exhausting max_iters with labels still moving must WARN, not return
+    partially-propagated labels silently (ADVICE r3): one round on a long
+    path cannot reach the fixpoint."""
+    import warnings
+    n = 40
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        D.connected_components(verts, edges, max_iters=1).collect()
+    assert any("not converged" in str(w.message) for w in caught), \
+        [str(w.message) for w in caught]
 
 
 def test_quantized_topk_recall_and_zero_vector(spark):
