@@ -148,11 +148,100 @@ def _assign_lists(vecs: DataFrame, cents: DataFrame, id_col: str,
             .select(id_col, vec_col, F.col("cid").alias("list_id")))
 
 
+def ivf_train_kmeans(embeddings: DataFrame, *,
+                     n_centroids: int = IVF_CENTROID_BUDGET,
+                     iters: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_vectors: int | None = None) -> DataFrame:
+    """Spherical k-means coarse quantizer for IVF — the trained alternative
+    to the modulus-subset centroids.
+
+    Initialization is the SAME deterministic modulus subset the untrained
+    path uses (re-keyed 0..C-1 in id order), followed by a FIXED number of
+    Lloyd rounds: one distributed pass per round computes per-partition
+    (centroid, sum-of-assigned-normalized-vectors, count) partials via a
+    BLAS argmax per Arrow batch (ties -> lowest centroid index, matching
+    :func:`_assign_lists`); the driver reduces the C x dim partials (a few
+    KB — never O(N) driver state) and renormalizes.  An empty cluster keeps
+    its previous centroid.  No RNG anywhere; given a partitioning the run
+    is reproducible, and across partitionings centroids differ only by
+    float-sum reassociation ulps — irrelevant to recall, which is the
+    quantity training buys (the untrained subset stays the oracle-exact
+    default; trained centroids are approximate-by-nature, covered by the
+    recall pytest rather than a SQL twin).
+
+    Returns a (cid, cvec) DataFrame accepted by :func:`ivf_topk` /
+    :func:`ivf_topk_arrow` via their ``centroids`` parameter.  At 10^12
+    vectors each round is one scan + one C x dim reduce — the textbook
+    distributed k-means shape; sample the training input
+    (e.g. :func:`polycheck_spark.operators.sampling.sample_hash`) to train
+    on a subset when even one scan per round is too much.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n = n_vectors if n_vectors is not None else embeddings.count()
+    mod = _centroid_modulus(n, n_centroids)
+    crows = (embeddings.filter(F.col(id_col) % mod == 0)
+             .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+             .orderBy(F.col(id_col)).collect())
+    if not crows:
+        raise ValueError("ivf_train_kmeans: empty init centroid set")
+    cmat = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat = np.divide(cmat, np.where(cn > 0, cn, 1.0))
+    c, dim = cmat.shape
+
+    schema = T.StructType([
+        T.StructField("cid", T.LongType()),
+        T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        T.StructField("cnt", T.LongType()),
+    ])
+
+    src = embeddings.select(F.col(vec_col).cast("array<double>").alias("__vec"))
+    for _ in range(iters):
+        cm = cmat  # bind the round's matrix (closure over the loop var)
+
+        def partials(batches, cm=cm):
+            sums = np.zeros((c, dim))
+            cnt = np.zeros(c, dtype=np.int64)
+            for pdf in batches:
+                v = np.array(list(pdf["__vec"]), dtype=np.float64)
+                vn = np.linalg.norm(v, axis=1, keepdims=True)
+                v = np.divide(v, np.where(vn > 0, vn, 1.0))
+                best = np.argmax(v @ cm.T, axis=1)   # first max = lowest cid
+                np.add.at(sums, best, v)
+                np.add.at(cnt, best, 1)
+            live = np.flatnonzero(cnt)
+            yield pd.DataFrame({"cid": live.astype(np.int64),
+                                "vsum": [sums[i] for i in live],
+                                "cnt": cnt[live]})
+
+        rows = src.mapInPandas(partials, schema).collect()
+        sums = np.zeros((c, dim))
+        cnt = np.zeros(c, dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            cnt[r["cid"]] += r["cnt"]
+        live = cnt > 0
+        means = np.divide(sums, cnt[:, None], out=np.zeros_like(sums),
+                          where=live[:, None])
+        mn = np.linalg.norm(means, axis=1, keepdims=True)
+        means = np.divide(means, np.where(mn > 0, mn, 1.0))
+        cmat = np.where((live & (mn[:, 0] > 0))[:, None], means, cmat)
+
+    spark = embeddings.sparkSession
+    out = [(int(i), [float(x) for x in cmat[i]]) for i in range(c)]
+    return spark.createDataFrame(out, "cid long, cvec array<double>")
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_probe: int = IVF_NPROBE,
              n_centroids: int = IVF_CENTROID_BUDGET,
-             n_vectors: int | None = None) -> DataFrame:
+             n_vectors: int | None = None,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-flat approximate cosine top-k — the inverted-list alternative to
     :func:`lsh_bucket_topk`.
 
@@ -175,12 +264,21 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     The candidate join is an equi-join on list_id — never an all-pairs
     product.  All arithmetic is double (bit-identical across engines), so
     the whole path is oracle-checkable (:func:`ivf_topk_sql`).
+
+    ``centroids``: an optional (cid, cvec) DataFrame overriding the
+    modulus subset — pass :func:`ivf_train_kmeans` output for trained
+    coarse quantization (higher recall on clustered corpora; the trained
+    path trades the SQL oracle for a recall pytest).
     """
-    n = n_vectors if n_vectors is not None else embeddings.count()
-    mod = _centroid_modulus(n, n_centroids)
-    cents = embeddings.filter(F.col(id_col) % mod == 0).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cvec"))
+    if centroids is not None:
+        cents = centroids.select(F.col("cid"),
+                                 F.col("cvec").cast("array<double>").alias("cvec"))
+    else:
+        n = n_vectors if n_vectors is not None else embeddings.count()
+        mod = _centroid_modulus(n, n_centroids)
+        cents = embeddings.filter(F.col(id_col) % mod == 0).select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"))
     t = embeddings.select(F.col(id_col).alias("target_id"),
                           F.col(vec_col).cast("array<double>").alias("tvec"))
     q = queries.select(F.col(id_col).alias("query_id"),
@@ -859,7 +957,8 @@ def ivf_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    n_probe: int = IVF_NPROBE,
                    n_centroids: int = IVF_CENTROID_BUDGET,
-                   n_vectors: int | None = None) -> DataFrame:
+                   n_vectors: int | None = None,
+                   centroids: DataFrame | None = None) -> DataFrame:
     """Arrow-assigned twin of :func:`ivf_topk`: the centroid table (a fixed
     budget, so always driver-small) is collected once and every Arrow batch
     assigns its vectors with one BLAS cosine matrix — the Column path's
@@ -872,11 +971,16 @@ def ivf_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
     import pandas as pd
     from pyspark.sql import types as T
 
-    n = n_vectors if n_vectors is not None else embeddings.count()
-    mod = _centroid_modulus(n, n_centroids)
-    crows = (embeddings.filter(F.col(id_col) % mod == 0)
-             .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-             .collect())
+    if centroids is not None:
+        crows = (centroids.select(F.col("cid"),
+                                  F.col("cvec").cast("array<double>"))
+                 .collect())
+    else:
+        n = n_vectors if n_vectors is not None else embeddings.count()
+        mod = _centroid_modulus(n, n_centroids)
+        crows = (embeddings.filter(F.col(id_col) % mod == 0)
+                 .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+                 .collect())
     if not crows:
         raise ValueError("ivf_topk_arrow: empty centroid set")
     cids = np.array([r[0] for r in crows], dtype=np.int64)

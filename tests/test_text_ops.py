@@ -189,6 +189,55 @@ def test_lsh_ann_recall_on_clustered_data(spark):
     assert ivf_recall >= 0.8, ivf_recall
 
 
+def _clustered_corpus(spark, n_clusters, per, dim, noise_denom=500):
+    rows = []
+    for c in range(n_clusters):
+        base = [(((c * 31 + d * 17) % 97) - 48) / 48.0 for d in range(dim)]
+        for m in range(per):
+            vec = [base[d] + (((c * 7 + m * 13 + d * 3) % 11) - 5) / noise_denom
+                   for d in range(dim)]
+            rows.append((c * per + m, [float(v) for v in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_trained_centroids_raise_recall(spark):
+    """Deterministic spherical k-means must lift IVF recall to >= 0.9 in a
+    regime where the untrained modulus subset drops below it (the untrained
+    path is pinned at >= 0.8 elsewhere).  The regime: DIFFUSE clusters
+    (noise comparable to inter-center gaps) probed with n_probe=1, so
+    cluster members split across list boundaries when centroids sit
+    off-center — exactly what Lloyd rounds fix (measured here: 0.87
+    untrained -> 0.95 trained).  Tight clusters co-locate wholesale under
+    ANY centroids, which is why the easy corpus cannot separate the two.
+    Also pins training invariants: FIXED centroid budget (never O(N)),
+    unit-norm outputs, and the Arrow path consuming the same centroids
+    identically."""
+    import math
+    per = 12
+    emb = _clustered_corpus(spark, n_clusters=80, per=per, dim=16,
+                            noise_denom=25)
+    q = emb.filter(F.col("vec_id") % (4 * per) == 0)
+    exact = {(r["query_id"], r["target_id"])
+             for r in S.cosine_topk(emb, q, 5).collect()}
+    untrained = {(r["query_id"], r["target_id"])
+                 for r in S.ivf_topk(emb, q, 5, n_probe=1).collect()}
+    cents = S.ivf_train_kmeans(emb, iters=5)
+    crows = cents.collect()
+    assert len(crows) <= 2 * S.IVF_CENTROID_BUDGET          # fixed budget
+    for r in crows:
+        assert math.isclose(sum(v * v for v in r["cvec"]), 1.0, rel_tol=1e-9)
+    trained = {(r["query_id"], r["target_id"])
+               for r in S.ivf_topk(emb, q, 5, n_probe=1, centroids=cents).collect()}
+    trained_arrow = {(r["query_id"], r["target_id"])
+                     for r in S.ivf_topk_arrow(emb, q, 5, n_probe=1,
+                                               centroids=cents).collect()}
+    r_untrained = len(exact & untrained) / len(exact)
+    r_trained = len(exact & trained) / len(exact)
+    assert r_trained >= 0.9, (r_trained, r_untrained)
+    assert r_trained >= r_untrained + 0.03, (r_trained, r_untrained)
+    assert trained_arrow == trained
+
+
 def test_plane_weights_bitwise_equal(spark):
     """The precomputed literal plane-weight matrix must be BIT-identical to
     the md5 Column derivation it replaced (buckets — and therefore oracle
