@@ -84,6 +84,23 @@ def geocoded_pages(spark: SparkSession, num_pages: int, partitions: int | None =
     return df.withColumn("lon", lon).withColumn("lat", lat)
 
 
+def generate_embeddings(spark: SparkSession, num_vecs: int, dim: int = 16,
+                        partitions: int | None = None) -> DataFrame:
+    """Deterministic (vec_id, embedding array<double>) table: component j of
+    vector i is an xxhash64(i, j)-derived uniform in [-1, 1] — pure Column
+    arithmetic like :func:`generate_pages`, so the same vector is produced
+    for any partitioning/rerun (what makes embedding-job resume testable).
+    Random vectors are near-orthogonal, so only deliberately injected
+    perturbation copies form near-duplicate pairs."""
+    df = (spark.range(0, num_vecs, 1, partitions) if partitions
+          else spark.range(num_vecs))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2001)) - F.lit(1000))
+        / F.lit(1000.0))
+    return df.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
 # --- arithmetic geocode (Spark + DuckDB twins) ------------------------------
 
 _M1, _A1, _P1 = 2654435761, 1013904223, 1000003

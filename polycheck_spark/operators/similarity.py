@@ -364,8 +364,8 @@ def _plane_component(plane: int, dim_idx):
 
 
 @_lru_cache(maxsize=None)
-def _plane_weights(dim: int) -> tuple[tuple[float, ...], ...]:
-    """The N_PLANES x dim hyperplane weight matrix, computed ONCE driver-side.
+def _plane_weights(dim: int, n_planes: int = N_PLANES) -> tuple[tuple[float, ...], ...]:
+    """The n_planes x dim hyperplane weight matrix, computed ONCE driver-side.
 
     Same derivation as :func:`_plane_component` (md5 -> int -> affine), same
     IEEE-double arithmetic — the two are bit-identical (pinned by
@@ -376,7 +376,7 @@ def _plane_weights(dim: int) -> tuple[tuple[float, ...], ...]:
     constant factor on the hot path of every LSH query."""
     import hashlib
     rows = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         row = []
         for i in range(dim):
             h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
@@ -392,18 +392,26 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"]) if row is not None else 0
 
 
-def bucket_key_col(vec_col, dim: int | None = None):
-    """Sign-bit LSH bucket id from N_PLANES pseudo-random hyperplanes.
+def bucket_key_col(vec_col, dim: int | None = None,
+                   n_planes: int = N_PLANES):
+    """Sign-bit LSH bucket id from ``n_planes`` pseudo-random hyperplanes.
 
     With ``dim`` the plane weights are precomputed literal arrays (JVM-side
     constant, zero per-row hashing).  ``dim=None`` falls back to deriving the
     weights per element — only for callers that truly cannot know the width
     (ragged vectors would bucket by prefix either way: zip_with nulls out
-    length mismatches, so fixed-width input is assumed regardless)."""
+    length mismatches, so fixed-width input is assumed regardless).
+
+    ``n_planes`` defaults to the oracle-pinned 8 (256 buckets — what every
+    driver-checked query uses); scale paths size it with the corpus —
+    ~log2(N / target_bucket_population) — so bucket population, and with it
+    the quadratic per-bucket candidate cost, stays CONSTANT as N grows
+    (fixed-plane LSH degrades quadratically instead; see
+    jobs/near_dup_job.py)."""
     key = F.lit(0).cast("long")
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         if dim is not None:
-            wcol = F.array(*[F.lit(w) for w in _plane_weights(dim)[p]])
+            wcol = F.array(*[F.lit(w) for w in _plane_weights(dim, n_planes)[p]])
         else:
             wcol = F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1),
                                lambda i: _plane_component(p, i))

@@ -130,6 +130,44 @@ def test_snapshot_time_travel(spark, tmp_path):
         w.read_snapshot(spark, 99)
 
 
+def test_near_dup_job_resumable(spark, tmp_path):
+    """Embedding near-dup job (LSH buckets -> per-bucket pairs + rescore ->
+    CC -> survivors): a kill before a bucket commits, then a resume, must
+    produce the identical pair set AND identical survivors as an
+    uninterrupted run — the pair stage is exactly-once per work bucket and
+    the closing CC stage is idempotent over the committed pairs."""
+    from polycheck_spark.jobs.near_dup_job import DUP_OFFSET, run_job as nd_run
+
+    n_vecs, n_buckets = 3000, 6
+    clean = str(tmp_path / "nd_clean")
+    ref = nd_run(spark, n_vecs, n_buckets, clean)
+    assert len(ref["run"]["processed"]) == n_buckets
+    assert ref["n_pairs"] > 0
+
+    # every injected duplicate that was FOUND collapses onto its original
+    # (cluster min is the original id), so found copies leave the survivors
+    pairs = sorted(tuple(r) for r in
+                   CheckpointedWriter(clean).read_output(spark).collect())
+    surv = {r["id"] for r in spark.read.parquet(ref["survivors_path"]).collect()}
+    found_copies = {b for a, b in pairs if b == a + DUP_OFFSET}
+    assert found_copies and found_copies.isdisjoint(surv)
+    assert len(surv) < n_vecs + n_vecs // 20 + 1     # strictly fewer than vertices
+
+    # kill before bucket 4 commits, resume, compare everything
+    resumed = str(tmp_path / "nd_resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        nd_run(spark, n_vecs, n_buckets, resumed, fail_on=lambda k: k == 4)
+    assert CheckpointedWriter(resumed).completed_buckets() == {0, 1, 2, 3}
+    out = nd_run(spark, n_vecs, n_buckets, resumed)
+    assert sorted(out["run"]["skipped"]) == [0, 1, 2, 3]
+    assert sorted(out["run"]["processed"]) == [4, 5]
+    pairs2 = sorted(tuple(r) for r in
+                    CheckpointedWriter(resumed).read_output(spark).collect())
+    surv2 = {r["id"] for r in spark.read.parquet(out["survivors_path"]).collect()}
+    assert pairs2 == pairs
+    assert surv2 == surv
+
+
 def test_dedup_job_exact_and_resumable(spark, tmp_path):
     """Digest-bucketed dedup job: survivors = exactly the distinct texts
     (cross-bucket copies collapse because identical text => identical
