@@ -783,6 +783,28 @@ def q_events_value_stats(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE grouping sets: event_type x hour-of-day with all-subtotal
+    levels and grouping_id disambiguation (null-as-total vs null-as-value)
+    — Spark .cube() against DuckDB GROUP BY CUBE, identical bitmask
+    convention (verified: GROUPING(a, b) == grouping_id())."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hod = F.pmod(F.floor(F.unix_millis(F.col("ts").cast("timestamp"))
+                         / F.lit(3600_000)), F.lit(24))
+    cubed = (ev.withColumn("hod", hod)
+             .cube("event_type", "hod")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+                  F.grouping_id().cast("long").alias("gid")))
+    # subtotal NULLs coalesce to sentinels (gid already disambiguates
+    # null-as-total from null-as-value) so the result is NULL-free — robust
+    # under any row comparator
+    return (cubed.select(F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+                         F.coalesce(F.col("hod"), F.lit(-1)).alias("hod"),
+                         "n_events", "sum_value", "gid")
+            .orderBy("gid", "event_type", "hod"))
+
+
 def q_dedup_apply(spark, sf_dir):
     """End-to-end dedup: near-dup clusters collapsed to their canonical
     representative (cluster_id == id) — per-lang survivor counts."""
@@ -871,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_events_hourly": q_tile_events_hourly,
         "events_json": q_events_json,
         "events_value_stats": q_events_value_stats,
+        "events_cube": q_events_cube,
         "dedup_apply": q_dedup_apply,
         "set_ops": q_set_ops,
         "distinct_tiles_per_lang": q_distinct_tiles_per_lang,
@@ -1065,6 +1088,17 @@ SELECT event_type, COUNT(*) AS n_events,
        MIN(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.9e0) AS BIGINT) + 1 THEN value END) AS p90,
        MIN(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.99e0) AS BIGINT) + 1 THEN value END) AS p99
 FROM ranked GROUP BY event_type ORDER BY event_type""",
+        "events_cube": """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       CAST(COALESCE(hod, -1) AS BIGINT) AS hod,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(event_type, hod) AS BIGINT) AS gid
+FROM (SELECT event_type, value,
+             CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) % 24 AS hod
+      FROM events)
+GROUP BY CUBE (event_type, hod)
+ORDER BY gid, event_type, hod""",
         "dedup_apply": f"""
 WITH comps AS ({D.connected_components_sql(
             "SELECT doc_id FROM documents",

@@ -69,13 +69,13 @@ def test_near_dup_bucket_join_not_cartesian(spark, sf_dir):
 def test_near_dup_arrow_buckets_computed_once(spark, sf_dir):
     """impl='arrow' must bucket the embeddings in ONE mapInPandas pass: the
     (id, bucket) frame is eagerly localCheckpoint-ed and both self-join
-    sides scan the checkpointed RDD, so the final plan contains no
-    MapInPandas node at all (it already ran, once) and the only parquet
-    scans left are the two exact-rescore vector rejoins."""
+    sides scan the checkpointed RDD, so the only MapInPandas node left in
+    the plan is the banded rescore (the bucketer already ran, once) and
+    the only parquet scans are the two rescore vector rejoins."""
     from polycheck_spark.operators import similarity as S
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = _plan(S.near_dup_pairs(emb, (3, 5), mode="lsh", impl="arrow"))
-    assert "MapInPandas" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert plan.count("FileScan parquet") == 2, plan
 

@@ -23,13 +23,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # every value becomes a ("tag", ...) tuple so rows stay totally ordered
+    # even when a column mixes NULLs with values (CUBE subtotals)
+    if v is None:
+        return ("_null",)
     if isinstance(v, decimal.Decimal):
         return ("dec", str(v.normalize()))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
         return ("f", f"{v:.12g}")
-    return v
+    if isinstance(v, bool):
+        return ("i", int(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, str):
+        return ("s", v)
+    return ("o", str(v))
 
 
 def main():
