@@ -255,6 +255,21 @@ def q_fingerprints(spark, sf_dir):
     return TX.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+VOCAB_K = 50
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-50 tokens by document frequency (explode ->
+    two map-side-combined aggregations -> window over the vocab only)."""
+    return TX.vocab_topk(_docs(spark, sf_dir), VOCAB_K).orderBy("rank")
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus profile incl. within-source exact-dup mass
+    (n_docs - n_distinct_texts)."""
+    return TX.source_stats(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir)).orderBy("text_md5")
 
@@ -865,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "vocab_topk": q_vocab_topk,
+        "source_stats": q_source_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -961,6 +978,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": TX.quality_scores_sql("documents") + " ORDER BY doc_id",
         "lang_id": TX.lang_id_sql("documents") + " ORDER BY doc_id",
         "fingerprints": TX.fingerprints_sql("documents") + " ORDER BY doc_id",
+        "vocab_topk": TX.vocab_topk_sql("documents", VOCAB_K) + " ORDER BY rank",
+        "source_stats": TX.source_stats_sql("documents"),
         "dedup_exact": D.exact_duplicates_sql("documents") + " ORDER BY text_md5",
         "ngram_jaccard": (D.ngram_jaccard_pairs_sql("documents", threshold=(1, 4))
                           + " ORDER BY a, b"),

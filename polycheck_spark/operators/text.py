@@ -11,7 +11,7 @@ the first 8 hex digits of md5 — the one hash both engines compute identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 MOD = 1_000_000_007
 
@@ -169,6 +169,85 @@ SELECT {id_col},
        CAST({s['ru']} AS INT) AS ru_chars,
        CAST({s['ar']} AS INT) AS ar_chars
 FROM {table}
+"""
+
+
+# --- corpus vocabulary ---------------------------------------------------------
+
+def vocab_topk(docs: DataFrame, k: int, *, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus top-k vocabulary by document frequency: (token, doc_freq,
+    occurrences, rank) — the vocabulary-build step of a training-data
+    pipeline.
+
+    Shape for scale: explode tokens -> per-(doc, token) count (first
+    shuffle, map-side combined — a doc's repeated tokens collapse before
+    the exchange) -> per-token (doc_freq, occurrences) (second shuffle over
+    at most |vocab| x partitions pre-combined rows) -> global top-k via one
+    window over the token table (|vocab| rows, NOT the corpus).
+    Deterministic tie-break: doc_freq desc, occurrences desc, token asc.
+    """
+    tok = (docs.select(F.col(id_col),
+                       F.explode(tokens_col(F.col(text_col))).alias("token"))
+           .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n")))
+    vocab = (tok.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("doc_freq"),
+                  F.sum("n").alias("occurrences")))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("occurrences").desc(),
+                       F.col("token").asc())
+    return (vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("token", "doc_freq", "occurrences", "rank"))
+
+
+def vocab_topk_sql(table: str, k: int, id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest({_tokens_sql(text_col)}) AS token FROM {table}
+),
+per_doc AS (SELECT {id_col}, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+vocab AS (SELECT token, COUNT(*) AS doc_freq, CAST(SUM(n) AS BIGINT) AS occurrences
+          FROM per_doc GROUP BY 1)
+SELECT token, doc_freq, occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, occurrences DESC, token ASC) AS BIGINT) AS rank
+FROM vocab
+QUALIFY rank <= {k}
+"""
+
+
+# --- per-source corpus stats ----------------------------------------------------
+
+def source_stats(docs: DataFrame, *, source_col: str = "source",
+                 text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """Per-source corpus profile: doc count, distinct languages, exact total
+    tokens, and the distinct-text count (its gap to n_docs is the
+    within-source exact-duplicate mass).  One shuffle; the md5 rides the
+    map side."""
+    toks = tokens_col(F.col(text_col))
+    return (docs.select(F.col(source_col).alias("source"),
+                        F.col(lang_col).alias("lang"),
+                        F.size(toks).alias("n_toks"),
+                        F.md5(F.col(text_col)).alias("text_md5"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum("n_toks").cast("long").alias("sum_tokens"),
+                 F.countDistinct("text_md5").alias("n_distinct_texts"))
+            .orderBy("source"))
+
+
+def source_stats_sql(table: str, source_col: str = "source",
+                     text_col: str = "text", lang_col: str = "lang") -> str:
+    t = _tokens_sql(text_col)
+    return f"""
+SELECT {source_col} AS source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT {lang_col}) AS n_langs,
+       CAST(SUM(len({t})) AS BIGINT) AS sum_tokens,
+       COUNT(DISTINCT md5({text_col})) AS n_distinct_texts
+FROM {table}
+GROUP BY 1 ORDER BY 1
 """
 
 

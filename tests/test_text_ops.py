@@ -73,6 +73,23 @@ def test_fingerprints(spark, sf_dir, docs):
     assert got == exp
 
 
+def test_vocab_topk(spark, sf_dir, docs):
+    got = _sorted_rows(TX.vocab_topk(docs, 20))
+    exp = sorted(_duck(sf_dir, TX.vocab_topk_sql("documents", 20)))
+    assert got == exp and got
+    # ranks are dense and deterministic under heavy doc_freq ties
+    ranks = sorted(r[3] for r in got)
+    assert ranks == list(range(1, len(got) + 1))
+
+
+def test_source_stats(spark, sf_dir, docs):
+    got = _sorted_rows(TX.source_stats(docs))
+    exp = sorted(_duck(sf_dir, TX.source_stats_sql("documents")))
+    assert got == exp and got
+    for row in got:
+        assert row[4] <= row[1]        # distinct texts <= docs
+
+
 def test_exact_duplicates(spark, sf_dir, docs):
     got = _sorted_rows(D.exact_duplicates(docs))
     exp = sorted(_duck(sf_dir, D.exact_duplicates_sql("documents")))
