@@ -183,8 +183,11 @@ def vocab_topk(docs: DataFrame, k: int, *, id_col: str = "doc_id",
     Shape for scale: explode tokens -> per-(doc, token) count (first
     shuffle, map-side combined — a doc's repeated tokens collapse before
     the exchange) -> per-token (doc_freq, occurrences) (second shuffle over
-    at most |vocab| x partitions pre-combined rows) -> global top-k via one
-    window over the token table (|vocab| rows, NOT the corpus).
+    at most |vocab| x partitions pre-combined rows) -> top-k via
+    ``orderBy().limit(k)``, which Spark executes as TakeOrdered: each
+    partition keeps its own k, the driver merges k x partitions — the
+    vocabulary (which can be 10^8 tokens on web text) is never sorted
+    globally, and the rank window runs over the k survivors only.
     Deterministic tie-break: doc_freq desc, occurrences desc, token asc.
     """
     tok = (docs.select(F.col(id_col),
@@ -193,10 +196,11 @@ def vocab_topk(docs: DataFrame, k: int, *, id_col: str = "doc_id",
     vocab = (tok.groupBy("token")
              .agg(F.count(F.lit(1)).alias("doc_freq"),
                   F.sum("n").alias("occurrences")))
-    w = Window.orderBy(F.col("doc_freq").desc(), F.col("occurrences").desc(),
-                       F.col("token").asc())
-    return (vocab.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
+    order = [F.col("doc_freq").desc(), F.col("occurrences").desc(),
+             F.col("token").asc()]
+    topk = vocab.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("token", "doc_freq", "occurrences", "rank"))
 
 
