@@ -460,7 +460,8 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    mode: str = "lsh", dim: int | None = None,
                    max_bucket_freq: int | None = None,
-                   impl: str = "column") -> DataFrame:
+                   impl: str = "column",
+                   n_planes: int = N_PLANES) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
     cosine(a, b) >= num/den.
 
@@ -479,6 +480,13 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
     entirely — strictly conservative (capped output is a subset of
     uncapped).  None disables the cap (exact LSH semantics; what the
     driver oracle checks).
+
+    ``n_planes``: LSH plane count — keep the default 8 when verifying
+    against :func:`near_dup_pairs_sql` (the oracle emits 8-plane buckets);
+    size it ~log2(N / target_bucket_population) at corpus scale so
+    per-bucket candidate cost stays constant (see
+    :func:`bucket_key_col` and jobs/near_dup_job.py; scale settings are
+    recall-pinned by the stress harness instead of the SQL oracle).
     """
     num, den = threshold
     if dim is None and mode == "lsh":
@@ -505,19 +513,20 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
         if impl == "arrow":
             bk = _buckets_arrow(embeddings.select(F.col(id_col).alias("vid"),
                                                   F.col(vec_col).alias("v")),
-                                "vid", "v", dim).localCheckpoint()
+                                "vid", "v", dim,
+                                n_planes=n_planes).localCheckpoint()
             tb = bk.select(F.col("vid").alias("a"), "bucket")
             ub0 = bk.select(F.col("vid").alias("b"),
                             F.col("bucket").alias("qbucket"))
         else:
-            tb = t.select("a", bucket_key_col(F.col("avec"), dim).alias("bucket"))
-            ub0 = u.select("b", bucket_key_col(F.col("bvec"), dim).alias("qbucket"))
+            tb = t.select("a", bucket_key_col(F.col("avec"), dim, n_planes).alias("bucket"))
+            ub0 = u.select("b", bucket_key_col(F.col("bvec"), dim, n_planes).alias("qbucket"))
         if max_bucket_freq is not None:
             cool = (tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bf"))
                     .filter(F.col("bf") <= max_bucket_freq).select("bucket"))
             tb = tb.join(cool, "bucket", "left_semi")
         probes = F.array(F.col("qbucket"),
-                         *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
+                         *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
         ub = ub0.withColumn("bucket", F.explode(probes)).drop("qbucket")
         if max_bucket_freq is not None:
             ub = ub.join(cool, "bucket", "left_semi")
@@ -852,7 +861,8 @@ def cosine_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
 
 
 def _buckets_arrow(df: DataFrame, id_name: str, vec_name: str, dim: int,
-                   out_name: str = "bucket") -> DataFrame:
+                   out_name: str = "bucket",
+                   n_planes: int = N_PLANES) -> DataFrame:
     """(id, bucket) via one BLAS matmul per Arrow batch against the
     precomputed plane matrix — the vectorized twin of
     :func:`bucket_key_col` (whose 8 interpreted fold-lambdas dominate the
@@ -863,8 +873,8 @@ def _buckets_arrow(df: DataFrame, id_name: str, vec_name: str, dim: int,
     import pandas as pd
     from pyspark.sql import types as T
 
-    planes = np.array(_plane_weights(dim), dtype=np.float64)  # P x dim
-    powers = (1 << np.arange(N_PLANES)).astype(np.int64)
+    planes = np.array(_plane_weights(dim, n_planes), dtype=np.float64)  # P x dim
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
 
     schema = T.StructType([
         T.StructField(id_name, T.LongType()),

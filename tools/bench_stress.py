@@ -10,6 +10,8 @@ BENCH/BASELINE.md are measured, not argued:
 * dedup_exact     — 2 M pages (10% injected duplicates)
 * minhash_lsh     — 200 k pages (banded candidates over ~10 M shingles)
 * connected_components — 1 M vertices, 1 M edges (random + chain mix)
+* near_dup (arrow)     — 300 k dim-32 embeddings, corpus-scaled plane count,
+                         recall on injected perturbation copies
 
 Usage: python tools/bench_stress.py  -> one JSON line + BENCH/stress.json
 """
@@ -126,6 +128,35 @@ def main():
     out["connected_components_1m"] = {"vertices": n_v, "components": comps,
                                       "sec": round(dt, 2),
                                       "edges_per_sec": round(n_v / dt)}
+
+    # --- embedding near-dup: 300k dim-32 vectors, corpus-scaled planes -------
+    # the QUERY operator at 100x its sf0.1 volume, in its scale
+    # configuration (n_planes ~ log2(N/16) — the driver-checked 8-plane
+    # setting is the oracle configuration, quadratic here); recall on the
+    # injected perturbation copies is the quality evidence the SQL oracle
+    # cannot give at this plane count
+    from polycheck_spark.operators import similarity as SIM
+    n_e, e_dim, e_mod, e_off = 300_000, 32, 20, 10_000_000
+    n_planes = max(8, (n_e // 16 - 1).bit_length())
+    emb = synth.generate_embeddings(spark, n_e, e_dim)
+    pert = F.concat(F.array(F.element_at(F.col("embedding"), 1) + F.lit(0.25)),
+                    F.slice(F.col("embedding"), 2, e_dim - 1))
+    edup = (emb.filter(F.col("vec_id") % e_mod == 0)
+            .select((F.col("vec_id") + e_off).alias("vec_id"),
+                    pert.alias("embedding")))
+    ecorpus = emb.unionByName(edup)
+    n_einj = edup.count()
+    t0 = time.time()
+    got = SIM.near_dup_pairs(ecorpus, (3, 5), mode="lsh", impl="arrow",
+                             dim=e_dim, n_planes=n_planes)
+    found_inj = got.filter(F.col("b") == F.col("a") + e_off).count()
+    dt = time.time() - t0
+    out["near_dup_300k"] = {"vectors": n_e + n_einj, "dim": e_dim,
+                            "n_planes": n_planes, "injected": n_einj,
+                            "injected_found": found_inj,
+                            "recall": round(found_inj / n_einj, 4),
+                            "sec": round(dt, 2),
+                            "vecs_per_sec": round((n_e + n_einj) / dt)}
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/stress.json", "w") as f:
