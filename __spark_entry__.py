@@ -1114,7 +1114,9 @@ SELECT COALESCE(event_type, '<all>') AS event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(GROUPING(event_type, hod) AS BIGINT) AS gid
 FROM (SELECT event_type, value,
-             CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) % 24 AS hod
+             -- pmod, not %: DuckDB % keeps the sign (pre-1970 ts would give
+             -- -1..-23 and collide with the -1 subtotal sentinel)
+             ((CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) % 24) + 24) % 24 AS hod
       FROM events)
 GROUP BY CUBE (event_type, hod)
 ORDER BY gid, event_type, hod""",

@@ -101,6 +101,23 @@ def generate_embeddings(spark: SparkSession, num_vecs: int, dim: int = 16,
     return df.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
 
 
+def inject_perturbed_copies(emb: DataFrame, dim: int, every: int, offset: int,
+                            delta: float = 0.25,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Corpus + near-duplicate injections: every ``id % every == 0`` vector
+    re-appears at ``id + offset`` with element 0 shifted by ``delta`` —
+    the deterministic ground truth the near-dup job and the stress harness
+    measure recall against (random vectors are near-orthogonal, so these
+    are the only constructed near-dups)."""
+    pert = F.concat(F.array(F.element_at(F.col(vec_col), 1) + F.lit(delta)),
+                    F.slice(F.col(vec_col), 2, dim - 1))
+    dups = (emb.filter(F.col(id_col) % every == 0)
+            .select((F.col(id_col) + offset).alias(id_col),
+                    pert.alias(vec_col)))
+    return emb.unionByName(dups)
+
+
 # --- arithmetic geocode (Spark + DuckDB twins) ------------------------------
 
 _M1, _A1, _P1 = 2654435761, 1013904223, 1000003

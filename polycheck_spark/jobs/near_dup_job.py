@@ -71,19 +71,19 @@ def run_job(spark, num_vecs: int, n_buckets: int, out_dir: str,
     probe (each extra plane adds a sign-flip chance the 1-bit multiprobe
     must absorb) — the standard LSH tuning surface, exercised by the
     kill-resume test at both settings."""
+    if num_vecs > DUP_OFFSET:
+        # injected-copy ids are originals + DUP_OFFSET; a corpus reaching
+        # the offset would collide real and injected ids (ambiguous a<b
+        # pairs, corrupt CC) with no error — refuse instead
+        raise ValueError(f"num_vecs must be <= {DUP_OFFSET} (injected-id offset)")
     writer = CheckpointedWriter(out_dir)
     if n_planes is None:
         n_planes = max(8, (max(2, num_vecs // TARGET_BUCKET_POP) - 1).bit_length())
 
     def corpus():
-        emb = synth.generate_embeddings(spark, num_vecs, dim)
-        pert = F.concat(
-            F.array(F.element_at(F.col("embedding"), 1) + F.lit(0.25)),
-            F.slice(F.col("embedding"), 2, dim - 1))
-        dups = (emb.filter(F.col("vec_id") % dup_mod == 0)
-                .select((F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
-                        pert.alias("embedding")))
-        return emb.unionByName(dups)
+        return synth.inject_perturbed_copies(
+            synth.generate_embeddings(spark, num_vecs, dim),
+            dim, dup_mod, DUP_OFFSET)
 
     staged_dir = os.path.join(out_dir, "_staged_emb")
     stage_params = {"vecs": num_vecs, "buckets": n_buckets, "dim": dim,
@@ -112,23 +112,19 @@ def run_job(spark, num_vecs: int, n_buckets: int, out_dir: str,
     num, den = threshold
 
     def rescore(batches):
-        # vectorized exact rescore: one einsum per Arrow batch instead of
-        # the interpreted HOF fold — the rescore dominates per-bucket cost
-        # (candidate counts are quadratic in bucket population) and the job
-        # has no SQL oracle to stay fold-bit-exact for; each pair's cosine
-        # is a fixed-order dim-length reduction of its own values, so the
-        # keep-set is deterministic under any batching/partitioning
+        # vectorized exact rescore (shared np_guarded_cosine kernel): one
+        # einsum per Arrow batch instead of the interpreted HOF fold — the
+        # rescore dominates per-bucket cost (candidate counts are quadratic
+        # in bucket population) and the job has no SQL oracle to stay
+        # fold-bit-exact for; each pair's cosine depends only on its own
+        # values, so the keep-set is deterministic under any batching
         import numpy as np
         for pdf in batches:
             if not len(pdf):
                 continue
             a = np.array(list(pdf["avec"]), dtype=np.float64)
             b = np.array(list(pdf["bvec"]), dtype=np.float64)
-            dot = np.einsum("ij,ij->i", a, b)
-            n2 = np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b)
-            cos = np.divide(dot, np.sqrt(n2), out=np.zeros_like(dot),
-                            where=n2 > 0)
-            yield pdf.loc[cos * den >= num, ["a", "b"]]
+            yield pdf.loc[SIM.np_guarded_cosine(a, b) * den >= num, ["a", "b"]]
 
     def build_bucket(k: int):
         part = spark.read.parquet(staged_dir).filter(F.col("wb") == k).drop("wb")
@@ -147,10 +143,18 @@ def run_job(spark, num_vecs: int, n_buckets: int, out_dir: str,
 
     # closing stage: pairs -> clusters -> survivors.  Input (the committed
     # pair set) is deterministic, so the overwrite is idempotent on resume.
+    # CC runs over the PAIR ENDPOINTS only — O(pairs) vertices, not the
+    # corpus: a vector in no pair is trivially its own cluster, so the
+    # survivor set is the corpus minus the non-representative endpoints
+    # (one anti-join over the corpus; the iterative rounds never touch it).
     pairs = writer.read_output(spark)
-    verts = corpus().select(F.col("vec_id").alias("id"))
-    labels = connected_components(verts, pairs, id_col="id")
-    survivors = labels.filter(F.col("cluster_id") == F.col("id")).select("id")
+    endpoints = (pairs.select(F.col("a").alias("id"))
+                 .unionByName(pairs.select(F.col("b").alias("id")))
+                 .distinct())
+    labels = connected_components(endpoints, pairs, id_col="id")
+    non_survivors = labels.filter(F.col("cluster_id") != F.col("id")).select("id")
+    survivors = (corpus().select(F.col("vec_id").alias("id"))
+                 .join(non_survivors, "id", "left_anti"))
     surv_dir = os.path.join(out_dir, "survivors")
     survivors.write.mode("overwrite").parquet(surv_dir)
     n_survivors = spark.read.parquet(surv_dir).count()

@@ -356,15 +356,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
             break
         prev_sum = new_sum
     else:
-        # the loop exhausted max_iters with labels still moving: the result
-        # is a valid UPPER BOUND on cluster labels but not the fixpoint —
-        # surface it instead of silently returning partial clusters
-        # (reachable with tiny max_iters or extreme-diameter graphs)
+        # the loop exhausted max_iters with the last round still changing
+        # labels: convergence is UNVERIFIED (the result may coincidentally
+        # be the fixpoint if that final round finished the job, but no
+        # probe ran after it) — surface it instead of silently returning
+        # possibly-partial clusters (reachable with tiny max_iters or
+        # extreme-diameter graphs)
         import warnings
         warnings.warn(
-            f"connected_components: not converged after {max_iters} rounds "
-            f"(labels still changing) — returning partially-propagated "
-            f"labels; raise max_iters (pointer jumping needs O(log n) rounds)",
+            f"connected_components: convergence unverified after "
+            f"{max_iters} rounds (labels still changing at the last probe) "
+            f"— labels may be partially propagated; raise max_iters "
+            f"(pointer jumping needs O(log n) rounds)",
             RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))
 

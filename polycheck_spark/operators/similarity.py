@@ -71,6 +71,18 @@ def _cos_sql(a: str, b: str) -> str:
     return f"(CASE WHEN {n2} > 0 THEN {dot} / sqrt({n2}) ELSE 0.0 END)"
 
 
+def np_guarded_cosine(a, b):
+    """Row-wise guarded cosine of two (N, dim) float64 arrays — the NumPy
+    twin of :func:`_cosine` (zero-norm pairs score 0.0).  One einsum per
+    term; each row's value depends only on its own elements, so the result
+    is batching/partitioning-invariant.  Shared by the banded rescore and
+    the near-dup job so the vectorized threshold semantics exist once."""
+    import numpy as np
+    dot = np.einsum("ij,ij->i", a, b)
+    n2 = np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b)
+    return np.divide(dot, np.sqrt(n2), out=np.zeros_like(dot), where=n2 > 0)
+
+
 def _empty_ranked(df: DataFrame) -> DataFrame:
     """Empty (query_id, target_id, rank) frame — what every top-k path
     returns for an empty query set.  The Column paths get this for free
@@ -509,12 +521,17 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
         # localCheckpoint-ed (ids-only — 16 B/row, bounded at any scale),
         # so the embeddings — the dominant scan — are read once for
         # bucketing instead of once per side; the two self-join branches
-        # then scan the checkpointed RDD, not the source.
+        # then scan the checkpointed RDD, not the source.  The checkpoint
+        # is LAZY (materializes at the caller's first action, so building
+        # the plan / .explain() stays free) and its ids-only storage is
+        # released by the ContextCleaner when the result DataFrame is
+        # garbage-collected — per-call storage is bounded and reclaimed,
+        # not leaked for the session's lifetime.
         if impl == "arrow":
             bk = _buckets_arrow(embeddings.select(F.col(id_col).alias("vid"),
                                                   F.col(vec_col).alias("v")),
                                 "vid", "v", dim,
-                                n_planes=n_planes).localCheckpoint()
+                                n_planes=n_planes).localCheckpoint(eager=False)
             tb = bk.select(F.col("vid").alias("a"), "bucket")
             ub0 = bk.select(F.col("vid").alias("b"),
                             F.col("bucket").alias("qbucket"))
@@ -554,14 +571,16 @@ def _rescore_banded(cand: DataFrame, num: int, den: int) -> DataFrame:
     threshold exceeds BAND; the (empirically empty) boundary band is
     re-evaluated with the EXACT sequential fold the Column/SQL paths use —
     so the accepted set is bit-identical to the interpreted HOF filter, at
-    vectorized speed.  BAND=1e-9 is ~10^4 x the worst-case pairwise-vs-
-    sequential summation divergence for dim <= 10^4 (~dim * eps), so a
-    BLAS-vs-fold decision flip can only occur INSIDE the band, where the
-    fold decides."""
+    vectorized speed.  The band is 1e-9 in COSINE units, scaled by ``den``
+    to margin units (margin = cos*den - num, so BLAS-vs-fold cosine
+    divergence is amplified by den): 1e-9 is ~10^4 x the worst-case
+    pairwise-vs-sequential summation divergence for dim <= 10^4
+    (~dim * eps), so a BLAS-vs-fold decision flip can only occur INSIDE
+    the band, where the fold decides — for any rational threshold."""
     import math
     import numpy as np
 
-    BAND = 1e-9
+    BAND = 1e-9 * den
 
     def run(batches):
         for pdf in batches:
@@ -569,11 +588,7 @@ def _rescore_banded(cand: DataFrame, num: int, den: int) -> DataFrame:
                 continue
             a = np.array(list(pdf["avec"]), dtype=np.float64)
             b = np.array(list(pdf["bvec"]), dtype=np.float64)
-            dot = np.einsum("ij,ij->i", a, b)
-            n2 = np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b)
-            cos = np.divide(dot, np.sqrt(n2), out=np.zeros_like(dot),
-                            where=n2 > 0)
-            margin = cos * den - num
+            margin = np_guarded_cosine(a, b) * den - num
             accept = margin >= BAND
             for i in np.flatnonzero(np.abs(margin) < BAND):
                 # exact left fold, identical op order to F.aggregate/DuckDB

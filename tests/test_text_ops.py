@@ -385,7 +385,7 @@ def test_connected_components_warns_when_not_converged(spark):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         D.connected_components(verts, edges, max_iters=1).collect()
-    assert any("not converged" in str(w.message) for w in caught), \
+    assert any("convergence unverified" in str(w.message) for w in caught), \
         [str(w.message) for w in caught]
 
 

@@ -138,14 +138,9 @@ def main():
     from polycheck_spark.operators import similarity as SIM
     n_e, e_dim, e_mod, e_off = 300_000, 32, 20, 10_000_000
     n_planes = max(8, (n_e // 16 - 1).bit_length())
-    emb = synth.generate_embeddings(spark, n_e, e_dim)
-    pert = F.concat(F.array(F.element_at(F.col("embedding"), 1) + F.lit(0.25)),
-                    F.slice(F.col("embedding"), 2, e_dim - 1))
-    edup = (emb.filter(F.col("vec_id") % e_mod == 0)
-            .select((F.col("vec_id") + e_off).alias("vec_id"),
-                    pert.alias("embedding")))
-    ecorpus = emb.unionByName(edup)
-    n_einj = edup.count()
+    ecorpus = synth.inject_perturbed_copies(
+        synth.generate_embeddings(spark, n_e, e_dim), e_dim, e_mod, e_off)
+    n_einj = ecorpus.count() - n_e
     t0 = time.time()
     got = SIM.near_dup_pairs(ecorpus, (3, 5), mode="lsh", impl="arrow",
                              dim=e_dim, n_planes=n_planes)
