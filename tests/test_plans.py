@@ -80,6 +80,16 @@ def test_near_dup_arrow_buckets_computed_once(spark, sf_dir):
     assert plan.count("FileScan parquet") == 2, plan
 
 
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    """The vocabulary top-k must plan as TakeOrderedAndProject (per-
+    partition top-k + driver merge) — a global Sort over the vocabulary
+    would single-reducer a 10^8-token table at web scale."""
+    from polycheck_spark.operators import text as TX
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(TX.vocab_topk(docs, 50))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_text_path_stays_jvm_side(spark, sf_dir):
     """Text ops must stay JVM-side: no Python evaluation node anywhere.
 
