@@ -270,6 +270,13 @@ def q_source_stats(spark, sf_dir):
     return TX.source_stats(_docs(spark, sf_dir))
 
 
+def q_doc_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by (tf desc, rarity) —
+    integer-only evidence, so the TF-IDF-style ordering is oracle-exact."""
+    return (TX.doc_top_terms(_docs(spark, sf_dir), 3)
+            .orderBy("doc_id", "term_rank"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir)).orderBy("text_md5")
 
@@ -882,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "vocab_topk": q_vocab_topk,
         "source_stats": q_source_stats,
+        "doc_top_terms": q_doc_top_terms,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -980,6 +988,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": TX.fingerprints_sql("documents") + " ORDER BY doc_id",
         "vocab_topk": TX.vocab_topk_sql("documents", VOCAB_K) + " ORDER BY rank",
         "source_stats": TX.source_stats_sql("documents"),
+        "doc_top_terms": (TX.doc_top_terms_sql("documents", 3)
+                          + " ORDER BY doc_id, term_rank"),
         "dedup_exact": D.exact_duplicates_sql("documents") + " ORDER BY text_md5",
         "ngram_jaccard": (D.ngram_jaccard_pairs_sql("documents", threshold=(1, 4))
                           + " ORDER BY a, b"),

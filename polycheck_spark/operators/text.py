@@ -220,6 +220,52 @@ QUALIFY rank <= {k}
 """
 
 
+# --- per-document keyword extraction --------------------------------------------
+
+def doc_top_terms(docs: DataFrame, k: int, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document top-k terms by TF-IDF ORDER without TF-IDF floats:
+    rank terms by (tf desc, doc_freq asc, token asc) — higher in-document
+    frequency first, rarer-in-corpus breaking ties — which is the ranking
+    tf * (1/doc_freq)-style weights induce, expressed purely in integers
+    so both engines order identically (cross-engine log() can differ in
+    the last ulp; integer evidence cannot).
+
+    Shape for scale: the per-(doc, token) tf table and the per-token
+    doc_freq table are both map-side-combined aggregations; their equi-join
+    shuffles on token (pre-aggregated rows, not the corpus), and the final
+    window partitions by DOCUMENT — per-partition sorts of per-doc term
+    lists, never a global sort.  Emits (doc_id, token, tf, doc_freq,
+    term_rank).
+    """
+    tok = (docs.select(F.col(id_col),
+                       F.explode(tokens_col(F.col(text_col))).alias("token"))
+           .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("token").asc())
+    return (tok.join(dfreq, "token")
+            .withColumn("term_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("term_rank") <= k)
+            .select(id_col, "token", "tf", "doc_freq", "term_rank"))
+
+
+def doc_top_terms_sql(table: str, k: int, id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest({_tokens_sql(text_col)}) AS token FROM {table}
+),
+tf AS (SELECT {id_col}, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1)
+SELECT {id_col}, token, tf, doc_freq,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
+                               ORDER BY tf DESC, doc_freq ASC, token ASC) AS BIGINT) AS term_rank
+FROM tf JOIN dfreq USING (token)
+QUALIFY term_rank <= {k}
+"""
+
+
 # --- per-source corpus stats ----------------------------------------------------
 
 def source_stats(docs: DataFrame, *, source_col: str = "source",

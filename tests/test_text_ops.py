@@ -90,6 +90,19 @@ def test_source_stats(spark, sf_dir, docs):
         assert row[4] <= row[1]        # distinct texts <= docs
 
 
+def test_doc_top_terms(spark, sf_dir, docs):
+    got = _sorted_rows(TX.doc_top_terms(docs, 3))
+    exp = sorted(_duck(sf_dir, TX.doc_top_terms_sql("documents", 3)))
+    assert got == exp and got
+    # every doc contributes at most 3 ranked terms, ranks dense from 1
+    import collections
+    per_doc = collections.defaultdict(list)
+    for doc_id, _tok, _tf, _df, rk in got:
+        per_doc[doc_id].append(rk)
+    for ranks in per_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+
+
 def test_exact_duplicates(spark, sf_dir, docs):
     got = _sorted_rows(D.exact_duplicates(docs))
     exp = sorted(_duck(sf_dir, D.exact_duplicates_sql("documents")))
