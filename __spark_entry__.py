@@ -313,6 +313,25 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir)).orderBy("id")
 
 
+SIMHASH_PAIR_HAMMING = 2
+SIMHASH_DUP_MOD = 37
+SIMHASH_DUP_OFFSET = 1_000_000
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Signature-level near-dup join: simhash pairs within Hamming 2 via
+    pigeonhole banding (recall 1 by construction) + bit_count rescore.
+    Every doc_id % 37 == 0 document is re-injected verbatim at
+    doc_id + 10^6, so identical-signature pairs are guaranteed present."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = (docs.filter(F.col("doc_id") % SIMHASH_DUP_MOD == 0)
+            .select((F.col("doc_id") + SIMHASH_DUP_OFFSET).alias("doc_id"),
+                    "text"))
+    both = docs.unionByName(dups)
+    return (D.simhash_near_pairs(both, SIMHASH_PAIR_HAMMING)
+            .orderBy("a", "b"))
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % 25 == 0)
@@ -895,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_quant": q_ann_quant,
@@ -1001,6 +1021,15 @@ def oracle_sql() -> dict[str, str]:
             D.lsh_candidate_pairs_sql("documents", max_band_freq=BAND_CAP)
             + " ORDER BY a, b"),
         "simhash": D.simhash_sql("documents") + " ORDER BY id",
+        "simhash_pairs": f"""
+WITH docs_both AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SIMHASH_DUP_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {SIMHASH_DUP_MOD} = 0
+)
+SELECT a, b FROM ({D.simhash_near_pairs_sql('docs_both', SIMHASH_PAIR_HAMMING)})
+ORDER BY a, b""",
         "ann_cosine": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                        + " ORDER BY query_id, rank"),
         "ann_cosine_fast": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)

@@ -288,6 +288,86 @@ FROM per_bit GROUP BY id
 """
 
 
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, *,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_band_freq: int | None = None) -> DataFrame:
+    """(a, b) document pairs whose simhashes differ in <= ``max_hamming``
+    bits — the signature-level near-dup join SimHash exists for.
+
+    Pigeonhole banding: the SIMHASH_BITS signature splits into
+    ``max_hamming + 1`` disjoint bit bands; two signatures within the
+    Hamming budget MUST agree on at least one whole band, so candidates
+    come from an equi-join on (band, band_value) — never an all-pairs
+    product — and are rescored exactly with ``bit_count(a XOR b)``
+    (integer ops, bit-identical across engines).  ``DISTINCT`` is required
+    here (unlike the LSH paths): a pair can match on several bands.
+
+    ``max_band_freq`` mirrors the MinHash hot-band cap: band values held
+    by more than the cap are dropped from candidate generation (capped
+    output is a strict subset) — the 100-TB guard against degenerate
+    signatures (e.g. millions of empty docs hashing to 0).
+    """
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError("need 0 <= max_hamming < SIMHASH_BITS")
+    sig = simhash(docs, id_col=id_col, text_col=text_col)
+    nb = max_hamming + 1
+    width = SIMHASH_BITS // nb
+    parts = []
+    for b in range(nb):
+        lo = b * width
+        w = width if b < nb - 1 else SIMHASH_BITS - lo
+        val = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << w) - 1))
+        parts.append(sig.select("id", "simhash", F.lit(b).alias("band"),
+                                val.alias("bval")))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionAll(p)
+    if max_band_freq is not None:
+        cool = (banded.groupBy("band", "bval")
+                .agg(F.count(F.lit(1)).alias("bf"))
+                .filter(F.col("bf") <= max_band_freq).select("band", "bval"))
+        banded = banded.join(cool, ["band", "bval"], "left_semi")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (x.join(y, ["band", "bval"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .filter(F.bit_count(F.col("x.simhash").bitwiseXOR(
+                F.col("y.simhash"))) <= max_hamming)
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct())
+
+
+def simhash_near_pairs_sql(table: str, max_hamming: int = 3,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           max_band_freq: int | None = None) -> str:
+    """DuckDB twin of :func:`simhash_near_pairs` (same bands, same
+    bit_count rescore)."""
+    nb = max_hamming + 1
+    width = SIMHASH_BITS // nb
+    rows = []
+    for b in range(nb):
+        lo = b * width
+        w = width if b < nb - 1 else SIMHASH_BITS - lo
+        rows.append(f"SELECT id, simhash, {b} AS band, "
+                    f"(simhash >> {lo}) & {(1 << w) - 1} AS bval FROM sig")
+    band_rows = " UNION ALL ".join(rows)
+    cap_cte = ""
+    src = "banded0"
+    if max_band_freq is not None:
+        cap_cte = f""",
+banded AS (SELECT * FROM banded0
+           QUALIFY COUNT(*) OVER (PARTITION BY band, bval) <= {max_band_freq})"""
+        src = "banded"
+    return f"""
+WITH sig AS ({simhash_sql(table, id_col, text_col)}),
+banded0 AS ({band_rows}){cap_cte}
+SELECT DISTINCT x.id AS a, y.id AS b
+FROM {src} x JOIN {src} y
+  ON x.band = y.band AND x.bval = y.bval AND x.id < y.id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
 # --- duplicate-cluster assignment (connected components) ---------------------
 
 def connected_components(vertices: DataFrame, edges: DataFrame, *,

@@ -153,6 +153,24 @@ def test_cosine_topk(spark, sf_dir):
     assert got == exp
 
 
+def test_simhash_near_pairs_equals_bruteforce(spark, sf_dir, docs):
+    """Pigeonhole banding is EXACT, not approximate: with max_hamming + 1
+    disjoint bands, two signatures within the budget must share a whole
+    band, so the banded join + bit_count rescore equals the brute-force
+    all-pairs Hamming filter (recall 1 by construction — pinned here),
+    and the capped variant is a strict subset."""
+    got = {(r["a"], r["b"]) for r in D.simhash_near_pairs(docs, 2).collect()}
+    sigs = D.simhash(docs).collect()
+    brute = {(x["id"], y["id"])
+             for i, x in enumerate(sigs) for y in sigs[i + 1:]
+             if bin(x["simhash"] ^ y["simhash"]).count("1") <= 2}
+    brute = {(min(a, b), max(a, b)) for a, b in brute}
+    assert got == brute and got
+    capped = {(r["a"], r["b"])
+              for r in D.simhash_near_pairs(docs, 2, max_band_freq=3).collect()}
+    assert capped <= got
+
+
 def test_near_dup_exact_vs_lsh(spark, sf_dir):
     """Embedding-cosine near-dup: exact mode finds every injected duplicate;
     the LSH-bucketed mode returns a subset with usable recall."""
