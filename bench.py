@@ -151,7 +151,8 @@ def main():
                  "ann_cosine", "ann_cosine_fast", "ann_lsh", "ann_lsh_fast", "ann_ivf",
                  "ann_ivf_fast", "ann_quant", "ann_quant_fast", "near_dup",
                  "near_dup_fast",
-                 "agg_lineitem", "events_sessionize"]:
+                 "agg_lineitem", "events_sessionize", "events_cube",
+                 "vocab_topk", "doc_top_terms", "simhash_pairs"]:
         best = None
         for _ in range(2):
             t0 = time.time()
