@@ -271,8 +271,8 @@ def q_source_stats(spark, sf_dir):
 
 
 def q_doc_top_terms(spark, sf_dir):
-    """Per-document keyword extraction: top-3 terms by (tf desc, rarity) —
-    integer-only evidence, so the TF-IDF-style ordering is oracle-exact."""
+    """Per-document distinctive terms: top-3 by (doc_freq asc, tf desc) —
+    rarity-first keyword extraction in pure integers, oracle-exact."""
     return (TX.doc_top_terms(_docs(spark, sf_dir), 3)
             .orderBy("doc_id", "term_rank"))
 
@@ -315,7 +315,10 @@ def q_simhash(spark, sf_dir):
 
 SIMHASH_PAIR_HAMMING = 2
 SIMHASH_DUP_MOD = 37
-SIMHASH_DUP_OFFSET = 1_000_000
+# offset must exceed any plausible doc_id (ids colliding with injected
+# copies would merge two texts under one id inside the signature groupBy —
+# identically in both engines, so the oracle differential could not see it)
+SIMHASH_DUP_OFFSET = 1_000_000_000
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -354,7 +357,8 @@ def q_ann_cosine_fast(spark, sf_dir):
 
 NEAR_DUP_THRESH = (3, 5)
 NEAR_DUP_MOD = 50
-NEAR_DUP_OFFSET = 100_000
+# see SIMHASH_DUP_OFFSET: far above any plausible vec_id
+NEAR_DUP_OFFSET = 1_000_000_000
 
 
 def q_near_dup(spark, sf_dir):

@@ -248,39 +248,62 @@ FROM {src} x JOIN {src} y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
 
 # --- SimHash ----------------------------------------------------------------------
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """SIMHASH_BITS-bit simhash over whitespace tokens (count-weighted).
+def _tok_int60(col):
+    """First 15 md5 hex digits as a 60-bit BIGINT — the wide token hash for
+    simhash signatures beyond 32 bits (the default 32-bit
+    :func:`text._tok_int` would leave bits 32+ constant).  15 hex digits
+    stay below 2^60, safely inside a signed 64-bit in both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    All SIMHASH_BITS per-bit sums run side by side in ONE groupBy over the
-    plain token table (the same shape as :func:`minhash_signatures`'s 16
-    min-aggs): the former bit-explosion path shuffled 16x the token rows
+
+def _tok_int60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """``bits``-wide simhash over whitespace tokens (count-weighted).
+
+    All per-bit sums run side by side in ONE groupBy over the plain token
+    table (the same shape as :func:`minhash_signatures`'s 16 min-aggs):
+    the former bit-explosion path shuffled bit-width x the token rows
     and needed a second aggregation — at 10^12 docs the token table is
     already the dominant shuffle, so multiplying it by the bit width was
     the bottleneck.  Same values, one pass, map-side partial combine.
-    """
+
+    ``bits`` defaults to the oracle-pinned 16; widths up to 60 switch to
+    the 15-hex-digit token hash (:func:`_tok_int60`).  Width is a
+    capacity knob: the Hamming pair join's band key space is 2^(bits/nb),
+    so wide signatures are what scale it (see
+    :func:`simhash_near_pairs`)."""
+    if not 1 <= bits <= 60:
+        raise ValueError("need 1 <= bits <= 60")
     toks = tokens_col(F.col(text_col))
+    tok_hash = _tok_int if bits <= 32 else _tok_int60
     tok = (docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-           .withColumn("h", _tok_int(F.col("tok"))))
+           .withColumn("h", tok_hash(F.col("tok"))))
     sums = [F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1))
                   .otherwise(F.lit(-1))).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)]
+            for b in range(bits)]
     per_doc = tok.groupBy("id").agg(*sums)
     sim = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return per_doc.select("id", sim.cast("long").alias("simhash"))
 
 
-def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
+                bits: int = SIMHASH_BITS) -> str:
     t = _tokens_sql(text_col)
+    h = _tok_int_sql("u.tok") if bits <= 32 else _tok_int60_sql("u.tok")
     return f"""
 WITH tok AS (
-  SELECT {id_col} AS id, {_tok_int_sql('u.tok')} AS h
+  SELECT {id_col} AS id, {h} AS h
   FROM (SELECT {id_col}, unnest({t}) AS tok FROM {table}) u({id_col}, tok)
 ),
 bits AS (
   SELECT id, b.bit, CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS c
-  FROM tok, range({SIMHASH_BITS}) b(bit)
+  FROM tok, range({bits}) b(bit)
 ),
 per_bit AS (SELECT id, bit, SUM(c) AS v FROM bits GROUP BY id, bit)
 SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
@@ -290,39 +313,55 @@ FROM per_bit GROUP BY id
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, *,
                        id_col: str = "doc_id", text_col: str = "text",
-                       max_band_freq: int | None = None) -> DataFrame:
+                       max_band_freq: int | None = None,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
     """(a, b) document pairs whose simhashes differ in <= ``max_hamming``
     bits — the signature-level near-dup join SimHash exists for.
 
-    Pigeonhole banding: the SIMHASH_BITS signature splits into
+    Pigeonhole banding: the ``bits``-wide signature splits into
     ``max_hamming + 1`` disjoint bit bands; two signatures within the
     Hamming budget MUST agree on at least one whole band, so candidates
-    come from an equi-join on (band, band_value) — never an all-pairs
-    product — and are rescored exactly with ``bit_count(a XOR b)``
-    (integer ops, bit-identical across engines).  ``DISTINCT`` is required
-    here (unlike the LSH paths): a pair can match on several bands.
+    come from an equi-join on (band, band_value), rescored exactly with
+    ``bit_count(a XOR b)`` (integer ops, bit-identical across engines).
+    ``DISTINCT`` is required here (unlike the LSH paths): a pair can
+    match on several bands.
+
+    **Band key space is the capacity limit**: each band has 2^(bits/nb)
+    possible values, so expected bucket population is N / 2^(bits/nb)
+    and the join does ~nb * N^2 / 2^(bits/nb) candidate comparisons.
+    The oracle-pinned 16-bit default (band width 5-6) is only viable to
+    ~10^4-10^5 docs; at corpus scale use ``bits`` near 60 (band width
+    15 for max_hamming 3 -> 32768 values/band), exactly as MinHash's
+    31-bit band keys do.  The brute-force-equality pytest pins both
+    widths.  The signature table is computed ONCE (lazy localCheckpoint;
+    the former per-band union recomputed the dominant token aggregation
+    nb x per join side) and only (id, simhash, band, bval) rows ride the
+    join.
 
     ``max_band_freq`` mirrors the MinHash hot-band cap: band values held
     by more than the cap are dropped from candidate generation (capped
-    output is a strict subset) — the 100-TB guard against degenerate
-    signatures (e.g. millions of empty docs hashing to 0).
+    output is a strict subset) — the guard against degenerate signatures
+    (e.g. millions of empty docs hashing to 0).  Note the cap composes
+    with width: if N >> cap * 2^(bits/nb), every band value is hot and
+    the capped output collapses toward empty — widen ``bits`` first.
     """
-    if not 0 <= max_hamming < SIMHASH_BITS:
-        raise ValueError("need 0 <= max_hamming < SIMHASH_BITS")
-    sig = simhash(docs, id_col=id_col, text_col=text_col)
+    if not 0 <= max_hamming < bits:
+        raise ValueError("need 0 <= max_hamming < bits")
+    sig = simhash(docs, id_col=id_col, text_col=text_col,
+                  bits=bits).localCheckpoint(eager=False)
     nb = max_hamming + 1
-    width = SIMHASH_BITS // nb
-    parts = []
+    width = bits // nb
+    structs = []
     for b in range(nb):
         lo = b * width
-        w = width if b < nb - 1 else SIMHASH_BITS - lo
+        w = width if b < nb - 1 else bits - lo
         val = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
             F.lit((1 << w) - 1))
-        parts.append(sig.select("id", "simhash", F.lit(b).alias("band"),
-                                val.alias("bval")))
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionAll(p)
+        structs.append(F.struct(F.lit(b).alias("band"), val.alias("bval")))
+    banded = (sig.select("id", "simhash",
+                         F.explode(F.array(*structs)).alias("bb"))
+              .select("id", "simhash", F.col("bb.band").alias("band"),
+                      F.col("bb.bval").alias("bval")))
     if max_band_freq is not None:
         cool = (banded.groupBy("band", "bval")
                 .agg(F.count(F.lit(1)).alias("bf"))
@@ -339,15 +378,16 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, *,
 
 def simhash_near_pairs_sql(table: str, max_hamming: int = 3,
                            id_col: str = "doc_id", text_col: str = "text",
-                           max_band_freq: int | None = None) -> str:
+                           max_band_freq: int | None = None,
+                           bits: int = SIMHASH_BITS) -> str:
     """DuckDB twin of :func:`simhash_near_pairs` (same bands, same
     bit_count rescore)."""
     nb = max_hamming + 1
-    width = SIMHASH_BITS // nb
+    width = bits // nb
     rows = []
     for b in range(nb):
         lo = b * width
-        w = width if b < nb - 1 else SIMHASH_BITS - lo
+        w = width if b < nb - 1 else bits - lo
         rows.append(f"SELECT id, simhash, {b} AS band, "
                     f"(simhash >> {lo}) & {(1 << w) - 1} AS bval FROM sig")
     band_rows = " UNION ALL ".join(rows)
@@ -359,7 +399,7 @@ banded AS (SELECT * FROM banded0
            QUALIFY COUNT(*) OVER (PARTITION BY band, bval) <= {max_band_freq})"""
         src = "banded"
     return f"""
-WITH sig AS ({simhash_sql(table, id_col, text_col)}),
+WITH sig AS ({simhash_sql(table, id_col, text_col, bits=bits)}),
 banded0 AS ({band_rows}){cap_cte}
 SELECT DISTINCT x.id AS a, y.id AS b
 FROM {src} x JOIN {src} y

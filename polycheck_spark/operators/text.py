@@ -224,12 +224,15 @@ QUALIFY rank <= {k}
 
 def doc_top_terms(docs: DataFrame, k: int, *, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """Per-document top-k terms by TF-IDF ORDER without TF-IDF floats:
-    rank terms by (tf desc, doc_freq asc, token asc) — higher in-document
-    frequency first, rarer-in-corpus breaking ties — which is the ranking
-    tf * (1/doc_freq)-style weights induce, expressed purely in integers
-    so both engines order identically (cross-engine log() can differ in
-    the last ulp; integer evidence cannot).
+    """Per-document top-k DISTINCTIVE terms: rank by (doc_freq asc,
+    tf desc, token asc) — corpus-rarest first, in-document frequency
+    breaking ties — so ubiquitous tokens (stopwords) rank LAST, which is
+    the idf-dominant behavior a keyword extractor needs.  The ordering is
+    pure integers, so both engines sort identically (a float tf*idf
+    weight would hit cross-engine log() last-ulp differences; note it
+    would also rank differently — true tf*log(N/df) trades tf against
+    rarity, which no lexicographic integer order reproduces — this
+    operator deliberately picks the rarity-first lexicographic contract).
 
     Shape for scale: the per-(doc, token) tf table and the per-token
     doc_freq table are both map-side-combined aggregations; their equi-join
@@ -243,7 +246,7 @@ def doc_top_terms(docs: DataFrame, k: int, *, id_col: str = "doc_id",
            .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     w = Window.partitionBy(id_col).orderBy(
-        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("token").asc())
+        F.col("doc_freq").asc(), F.col("tf").desc(), F.col("token").asc())
     return (tok.join(dfreq, "token")
             .withColumn("term_rank", F.row_number().over(w).cast("long"))
             .filter(F.col("term_rank") <= k)
@@ -260,7 +263,7 @@ tf AS (SELECT {id_col}, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
 dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1)
 SELECT {id_col}, token, tf, doc_freq,
        CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
-                               ORDER BY tf DESC, doc_freq ASC, token ASC) AS BIGINT) AS term_rank
+                               ORDER BY doc_freq ASC, tf DESC, token ASC) AS BIGINT) AS term_rank
 FROM tf JOIN dfreq USING (token)
 QUALIFY term_rank <= {k}
 """

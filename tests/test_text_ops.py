@@ -103,6 +103,18 @@ def test_doc_top_terms(spark, sf_dir, docs):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
 
 
+def test_doc_top_terms_rarity_beats_frequency(spark):
+    """A ubiquitous token must never outrank a rare one, whatever its tf —
+    the rarity-first contract that makes this a keyword extractor rather
+    than a stopword lister."""
+    rows = [(0, "the the the the quantum"), (1, "the cat"), (2, "the dog")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = {(r["doc_id"], r["term_rank"]): r["token"]
+           for r in TX.doc_top_terms(docs, 2).collect()}
+    assert top[(0, 1)] == "quantum"     # df=1 beats 'the' (df=3, tf=4)
+    assert top[(0, 2)] == "the"
+
+
 def test_exact_duplicates(spark, sf_dir, docs):
     got = _sorted_rows(D.exact_duplicates(docs))
     exp = sorted(_duck(sf_dir, D.exact_duplicates_sql("documents")))
@@ -157,18 +169,33 @@ def test_simhash_near_pairs_equals_bruteforce(spark, sf_dir, docs):
     """Pigeonhole banding is EXACT, not approximate: with max_hamming + 1
     disjoint bands, two signatures within the budget must share a whole
     band, so the banded join + bit_count rescore equals the brute-force
-    all-pairs Hamming filter (recall 1 by construction — pinned here),
-    and the capped variant is a strict subset."""
-    got = {(r["a"], r["b"]) for r in D.simhash_near_pairs(docs, 2).collect()}
-    sigs = D.simhash(docs).collect()
-    brute = {(x["id"], y["id"])
-             for i, x in enumerate(sigs) for y in sigs[i + 1:]
-             if bin(x["simhash"] ^ y["simhash"]).count("1") <= 2}
-    brute = {(min(a, b), max(a, b)) for a, b in brute}
-    assert got == brute and got
+    all-pairs Hamming filter (recall 1 by construction — pinned here at
+    BOTH signature widths: the 16-bit oracle default and the 60-bit
+    scale configuration), and the capped variant is a strict subset."""
+    for bits, h in ((16, 2), (60, 3)):
+        got = {(r["a"], r["b"])
+               for r in D.simhash_near_pairs(docs, h, bits=bits).collect()}
+        sigs = D.simhash(docs, bits=bits).collect()
+        brute = {(min(x["id"], y["id"]), max(x["id"], y["id"]))
+                 for i, x in enumerate(sigs) for y in sigs[i + 1:]
+                 if bin(x["simhash"] ^ y["simhash"]).count("1") <= h}
+        assert got == brute, (bits, h)
+        assert got or bits == 60        # 16-bit corpus must collide; 60-bit may not
     capped = {(r["a"], r["b"])
               for r in D.simhash_near_pairs(docs, 2, max_band_freq=3).collect()}
-    assert capped <= got
+    assert capped <= {(r["a"], r["b"])
+                      for r in D.simhash_near_pairs(docs, 2).collect()}
+
+
+def test_simhash_near_pairs_computes_signatures_once(spark, sf_dir):
+    """The banded self-join must NOT recompute the token aggregation per
+    band per side: the signature table is checkpointed and exploded, so
+    the plan holds zero parquet scans of the corpus (the former per-band
+    unionAll plan held 6)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = D.simhash_near_pairs(docs, 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan
 
 
 def test_near_dup_exact_vs_lsh(spark, sf_dir):
