@@ -325,7 +325,8 @@ def q_simhash_pairs(spark, sf_dir):
     """Signature-level near-dup join: simhash pairs within Hamming 2 via
     pigeonhole banding (recall 1 by construction) + bit_count rescore.
     Every doc_id % 37 == 0 document is re-injected verbatim at
-    doc_id + 10^6, so identical-signature pairs are guaranteed present."""
+    doc_id + SIMHASH_DUP_OFFSET (10^9), so identical-signature pairs are
+    guaranteed present."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     dups = (docs.filter(F.col("doc_id") % SIMHASH_DUP_MOD == 0)
             .select((F.col("doc_id") + SIMHASH_DUP_OFFSET).alias("doc_id"),

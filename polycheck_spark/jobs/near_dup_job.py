@@ -19,11 +19,14 @@ bucket outputs is the exact global pair set, no cross-bucket coordination,
 no dedup pass.  A killed job resumes from the last committed bucket with
 identical final output (pinned by tests/test_resume.py).
 
-The staged table carries each vector on its exact row and on its 9 probe
-rows (the self-contained-bucket trade: ~10x staging for embarrassingly
-parallel bucket jobs that never rescan the source; at 100 TB the
-alternative — ids-only staging + a by-id vector fetch per bucket — trades
-that storage for one bucketed join per work bucket, same checkpoint shape).
+The staged table carries each vector on its exact row plus one row per
+multiprobe bucket — n_planes + 1 rows per vector in total (n_planes scales
+~log2(N/16) with the corpus, so ~15x staging at the default 100k vectors).
+That is the self-contained-bucket trade: staging amplification for
+embarrassingly parallel bucket jobs that never rescan the source; at 100 TB
+the alternative — ids-only staging + a by-id vector fetch per bucket —
+trades that storage for one bucketed join per work bucket, same checkpoint
+shape.
 
 The closing CC + survivor stage is one cheap pass over the PAIRS (orders of
 magnitude smaller than the corpus) and reruns idempotently on resume —

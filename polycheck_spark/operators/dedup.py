@@ -477,18 +477,27 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
         prev_sum = new_sum
     else:
         # the loop exhausted max_iters with the last round still changing
-        # labels: convergence is UNVERIFIED (the result may coincidentally
-        # be the fixpoint if that final round finished the job, but no
-        # probe ran after it) — surface it instead of silently returning
-        # possibly-partial clusters (reachable with tiny max_iters or
-        # extreme-diameter graphs)
-        import warnings
-        warnings.warn(
-            f"connected_components: convergence unverified after "
-            f"{max_iters} rounds (labels still changing at the last probe) "
-            f"— labels may be partially propagated; raise max_iters "
-            f"(pointer jumping needs O(log n) rounds)",
-            RuntimeWarning, stacklevel=2)
+        # labels — the final round may nonetheless have REACHED the
+        # fixpoint (exactly-sufficient max_iters).  One extra change probe
+        # decides it: a propagation step leaves the exact label sum
+        # unchanged iff no label can move, and at that point labels are
+        # constant per component and equal the component-minimum id (for
+        # every edge (u,v) stability gives label(u) <= label(v) and
+        # label(v) <= label(u); labels are always member ids, and vertex c
+        # with label c forces c = min id) — so an unchanged probe sum IS
+        # full convergence, no jump step needed.
+        prop = (und.join(labels, und.src == labels.id)
+                .select(F.col("dst").alias("id"), "label"))
+        probe_sum = label_sum(labels.select("id", "label").unionAll(prop)
+                              .groupBy("id").agg(F.min("label").alias("label")))
+        if probe_sum != prev_sum:
+            import warnings
+            warnings.warn(
+                f"connected_components: convergence unverified after "
+                f"{max_iters} rounds (labels still changing at the final "
+                f"probe) — labels may be partially propagated; raise "
+                f"max_iters (pointer jumping needs O(log n) rounds)",
+                RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

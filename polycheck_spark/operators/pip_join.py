@@ -237,15 +237,19 @@ def detect_hot_cells(pages: DataFrame, res: int, *, lon_col: str = "lon",
     """Sampled heavy-hitter detection on the cell key (north_rule skew handling).
 
     Cells holding more than ``threshold_frac`` of the sampled pages are 'hot'.
-    One cheap pass over a sample; at 10^12 rows use sample_frac ~ 1e-5.
+    ONE pass over the sample: the total comes from an unpartitioned window
+    SUM over the per-cell aggregate (at most 4^res tiny rows shuffle to one
+    partition), not a second ``sampled.count()`` scan — at 10^12 rows with
+    sample_frac ~ 1e-5 the sample scan itself is the cost, so it must not
+    run twice (r4 review finding).
     """
-    sampled = pages.sample(fraction=sample_frac, seed=seed)
-    counts = (C.with_cell_id(sampled, F.col(lon_col), F.col(lat_col), res)
+    from pyspark.sql import Window
+    counts = (C.with_cell_id(pages.sample(fraction=sample_frac, seed=seed),
+                             F.col(lon_col), F.col(lat_col), res)
               .groupBy("cell_id").count())
-    total = sampled.count()
-    if total == 0:
-        return []
-    rows = counts.filter(F.col("count") > threshold_frac * total).collect()
+    rows = (counts.withColumn("total", F.sum("count").over(Window.partitionBy()))
+            .filter(F.col("count") > threshold_frac * F.col("total"))
+            .collect())
     return [r["cell_id"] for r in rows]
 
 

@@ -493,12 +493,12 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
     uncapped).  None disables the cap (exact LSH semantics; what the
     driver oracle checks).
 
-    ``n_planes``: LSH plane count — keep the default 8 when verifying
-    against :func:`near_dup_pairs_sql` (the oracle emits 8-plane buckets);
-    size it ~log2(N / target_bucket_population) at corpus scale so
-    per-bucket candidate cost stays constant (see
+    ``n_planes``: LSH plane count — pass the same count to
+    :func:`near_dup_pairs_sql` when verifying (its plane derivation is
+    width-parameterized too); size it ~log2(N / target_bucket_population)
+    at corpus scale so per-bucket candidate cost stays constant (see
     :func:`bucket_key_col` and jobs/near_dup_job.py; scale settings are
-    recall-pinned by the stress harness instead of the SQL oracle).
+    additionally recall-pinned by the stress harness).
     """
     num, den = threshold
     if dim is None and mode == "lsh":
@@ -613,26 +613,29 @@ def _rescore_banded(cand: DataFrame, num: int, den: int) -> DataFrame:
 def near_dup_pairs_sql(table: str, threshold: tuple[int, int] = (19, 20),
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        mode: str = "lsh",
-                       max_bucket_freq: int | None = None) -> str:
+                       max_bucket_freq: int | None = None,
+                       n_planes: int = N_PLANES) -> str:
     """DuckDB twin of :func:`near_dup_pairs` (same buckets, same rescore).
     ``max_bucket_freq`` mirrors the Spark hot-bucket cap: buckets whose
     exact-key population exceeds it are excluded from pairing (filtering the
     exact side alone is output-equivalent to filtering both — probe rows
-    only match buckets present on the exact side)."""
+    only match buckets present on the exact side).  ``n_planes`` mirrors
+    :func:`near_dup_pairs`'s plane count (the md5 plane derivation is
+    width-parameterized, so any count matches the Spark side)."""
     num, den = threshold
     cos = _cos_sql("avec", "bvec")
     if mode == "lsh":
-        probes = ", ".join(["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(N_PLANES)])
+        probes = ", ".join(["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(n_planes)])
         tb_cap = ""
         if max_bucket_freq is not None:
             tb_cap = f"\n        QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= {max_bucket_freq}"
         cand = f"""
 t AS (SELECT {id_col} AS a, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS avec
       FROM {table}),
-tb AS (SELECT a, avec, {_bucket_sql('avec')}::BIGINT AS bucket FROM t{tb_cap}),
+tb AS (SELECT a, avec, {_bucket_sql('avec', n_planes)}::BIGINT AS bucket FROM t{tb_cap}),
 u AS (SELECT {id_col} AS b, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS bvec
       FROM {table}),
-qb AS (SELECT b, bvec, {_bucket_sql('bvec')}::BIGINT AS qbucket FROM u),
+qb AS (SELECT b, bvec, {_bucket_sql('bvec', n_planes)}::BIGINT AS qbucket FROM u),
 ub AS (SELECT b, bvec, unnest([{probes}]) AS bucket FROM qb),
 cand AS (SELECT a, b, avec, bvec
          FROM tb JOIN ub USING (bucket) WHERE a < b)"""
@@ -654,9 +657,9 @@ def _plane_component_sql(plane: int, dim_expr: str) -> str:
             f"AS BIGINT) % 2000003 - 1000001.5e0) / 1000001.5e0")
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, n_planes: int = N_PLANES) -> str:
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         proj = (f"list_sum(list_transform(range(len({vec})), "
                 f"i -> {vec}[i + 1] * ({_plane_component_sql(p, 'i')})))")
         bits.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")

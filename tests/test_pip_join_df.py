@@ -130,6 +130,34 @@ def test_tile_rollup_leaves_nothing_persisted(spark):
     assert not added, added
 
 
+def test_detect_hot_cells_scans_sample_once(spark):
+    """The hot-cell pre-pass must read the sample ONCE: the total comes from
+    a window sum over the per-cell aggregate, not a second sampled.count()
+    scan (r4 review finding — at 10^12 rows the sample scan IS the cost).
+    Counted with an accumulator source; also pins that the skewed cell is
+    still detected and a uniform spread yields none."""
+    from pyspark.sql import types as T
+    n = 2000
+    # 60% of points in one spot -> exactly one hot cell at res 4
+    rows = [(i, 10.0, 10.0) if i % 5 < 3 else
+            (i, float((i * 37) % 360 - 180), float((i * 53) % 180 - 90))
+            for i in range(n)]
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        for r in it:
+            acc.add(1)
+            yield r
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("lon", T.DoubleType()),
+                           T.StructField("lat", T.DoubleType())])
+    src = spark.createDataFrame(rows, schema).rdd.mapPartitions(counting).toDF(schema)
+    hot = PJ.detect_hot_cells(src, 4, sample_frac=1.0, threshold_frac=0.3)
+    assert len(hot) == 1
+    assert acc.value == n, f"sample rows read {acc.value} times, expected {n}"
+
+
 def test_tile_rollup_weighted(spark, sf_dir):
     """weight_col path: every level's weighted sum equals the total weight,
     and the fine level matches a direct weighted aggregation."""

@@ -165,6 +165,16 @@ def test_cosine_topk(spark, sf_dir):
     assert got == exp
 
 
+def test_simhash_wide_matches_oracle(spark, sf_dir, docs):
+    """The 60-bit token hash (_tok_int60 vs _tok_int60_sql) must agree
+    cross-engine — the wide-signature path the 16-bit driver default never
+    exercises (ADVICE r4): conv(md5[1:15], 16, 10) in Spark vs the '0x'
+    cast in DuckDB, folded through the full simhash bit-vote."""
+    got = _sorted_rows(D.simhash(docs, bits=60))
+    exp = sorted(_duck(sf_dir, D.simhash_sql("documents", bits=60)))
+    assert got == exp and got
+
+
 def test_simhash_near_pairs_equals_bruteforce(spark, sf_dir, docs):
     """Pigeonhole banding is EXACT, not approximate: with max_hamming + 1
     disjoint bands, two signatures within the budget must share a whole
@@ -220,6 +230,17 @@ def test_near_dup_exact_vs_lsh(spark, sf_dir):
     assert injected <= exact                      # exact mode: recall 1
     assert lsh <= exact                           # lsh: subset of true pairs
     assert len(lsh & injected) >= 0.6 * n_injected  # usable recall
+
+
+def test_near_dup_nondefault_planes_match_oracle(spark, sf_dir):
+    """near_dup_pairs grew an n_planes knob; the SQL twin must mirror it
+    (ADVICE r4: an 8-plane oracle silently compared against an N-plane
+    Spark run before) — pinned at a non-default count cross-engine."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = _sorted_rows(S.near_dup_pairs(emb, (3, 5), mode="lsh", n_planes=5))
+    exp = sorted(_duck(sf_dir, S.near_dup_pairs_sql(
+        "embeddings", (3, 5), mode="lsh", n_planes=5)))
+    assert got == exp
 
 
 def test_lsh_ann_plumbing_on_testdata(spark, sf_dir):
@@ -445,6 +466,30 @@ def test_connected_components_warns_when_not_converged(spark):
         D.connected_components(verts, edges, max_iters=1).collect()
     assert any("convergence unverified" in str(w.message) for w in caught), \
         [str(w.message) for w in caught]
+
+
+def test_connected_components_no_spurious_warning_at_exact_iters(spark):
+    """Exactly-sufficient max_iters (the final round reaches the fixpoint)
+    must NOT warn: the post-loop change probe distinguishes 'last round
+    still converging' from 'genuinely unconverged' (ADVICE r4)."""
+    import warnings
+    n = 9
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    exp = {(i, 0) for i in range(n)}
+    for k in range(1, 12):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            got = {(r["id"], r["cluster_id"]) for r in
+                   D.connected_components(verts, edges, max_iters=k).collect()}
+        if got == exp:
+            # the smallest sufficient k: its last round changed labels, so
+            # the loop exhausted — only the probe can clear the warning
+            assert not any("convergence unverified" in str(w.message)
+                           for w in caught), [str(w.message) for w in caught]
+            break
+    else:
+        pytest.fail("chain never converged within 11 rounds")
 
 
 def test_quantized_topk_recall_and_zero_vector(spark):
