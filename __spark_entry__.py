@@ -336,6 +336,115 @@ def q_simhash_pairs(spark, sf_dir):
             .orderBy("a", "b"))
 
 
+SIMHASH_WIDE_BITS = 60
+
+
+def q_simhash_pairs_wide(spark, sf_dir):
+    """The corpus-scale simhash pair-join configuration: 60-bit signatures
+    (band key space 2^20 per band at Hamming 2 — the width the code
+    documents for 10^8+ docs, vs the 16-bit default's ~10^5 ceiling), same
+    injected-dup corpus and pigeonhole banding as simhash_pairs.  The
+    width-parameterized oracle makes the configuration actually run at
+    100 TB value-checked, not just pytest-pinned (r4 verdict item 3)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = (docs.filter(F.col("doc_id") % SIMHASH_DUP_MOD == 0)
+            .select((F.col("doc_id") + SIMHASH_DUP_OFFSET).alias("doc_id"),
+                    "text"))
+    both = docs.unionByName(dups)
+    return (D.simhash_near_pairs(both, SIMHASH_PAIR_HAMMING,
+                                 bits=SIMHASH_WIDE_BITS)
+            .orderBy("a", "b"))
+
+
+# --- media dimension extraction (header-level, codec-free) -------------------
+# deterministic binary corpus: doc_id % 4 picks PNG / GIF / JPEG / raw, with
+# real magic bytes and dimensions derived from doc_id.  The JPEG rows carry a
+# variable-length APP1 segment (doc_id % 32 pad bytes), so the Spark side
+# must genuinely WALK the segment chain while the oracle — knowing the
+# formula — checks it against the computed fixed offset.
+
+def _media_dims_payload_col():
+    d = F.col("doc_id")
+    def hex4(c):
+        return F.lpad(F.lower(F.hex(c)), 4, "0")
+    def hex8(c):
+        return F.lpad(F.lower(F.hex(c)), 8, "0")
+    def le16(c):
+        return F.concat(F.lpad(F.lower(F.hex(F.pmod(c, F.lit(256)))), 2, "0"),
+                        F.lpad(F.lower(F.hex(F.floor(c / 256))), 2, "0"))
+    pad = F.pmod(d, F.lit(32))
+    png = F.concat(F.lit("89504e470d0a1a0a0000000d49484452"),
+                   hex8(F.pmod(d, F.lit(4096)) + 1),
+                   hex8(F.pmod(d, F.lit(3333)) + 1), F.lit("0806000000"))
+    gif = F.concat(F.lit("474946383961"),
+                   le16(F.pmod(d, F.lit(60000)) + 1),
+                   le16(F.pmod(d, F.lit(40000)) + 1), F.lit("f7000000"))
+    sof_marker = F.when(F.pmod(d, F.lit(2)) == 0, F.lit("ffc0")).otherwise(F.lit("ffc2"))
+    jpeg = F.concat(
+        F.lit("ffd8"),
+        F.lit("ffe000104a46494600" + "00" * 9),          # APP0, length 16
+        F.lit("ffe1"), hex4(pad + 2),                     # APP1, variable pad
+        F.substring(F.lit("0" * 128), F.lit(1), pad * 2),
+        sof_marker, F.lit("0011") , F.lit("08"),          # SOF, length 17
+        hex4(F.pmod(d, F.lit(4000)) + 1),                 # height
+        hex4(F.pmod(d, F.lit(5000)) + 1),                 # width
+        F.lit("03" + "00" * 9))
+    r4 = F.pmod(d, F.lit(4))
+    p_hex = (F.when(r4 == 0, png).when(r4 == 1, gif).when(r4 == 2, jpeg)
+             .otherwise(F.md5(d.cast("string"))))
+    return F.unhex(p_hex)
+
+
+def q_media_dimensions(spark, sf_dir):
+    """Header-level image dimensions over a real-binary corpus: PNG IHDR +
+    GIF logical screen as pure hex Column arithmetic, JPEG SOF via the
+    Arrow segment walk — checked against a fixed-offset oracle."""
+    from polycheck_spark.operators.multimodal import media_dims, media_metadata
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _media_dims_payload_col().alias("payload"))
+    out = media_dims(media_metadata(docs, payload_col="payload"),
+                     payload_col="payload")
+    return (out.select("doc_id",
+                       F.col("media_bytes").cast("long").alias("media_bytes"),
+                       "media_type", "media_w", "media_h")
+            .orderBy("doc_id"))
+
+
+def _media_dimensions_oracle() -> str:
+    from polycheck_spark.operators.multimodal import media_dims_sql, media_type_sql
+    w_sql, h_sql = media_dims_sql("p", jpeg_sof_pos_expr="49 + 2 * (doc_id % 32)")
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '89504e470d0a1a0a0000000d49484452'
+                       || printf('%08x', doc_id % 4096 + 1)
+                       || printf('%08x', doc_id % 3333 + 1) || '0806000000'
+           WHEN 1 THEN '474946383961'
+                       || printf('%02x', (doc_id % 60000 + 1) % 256)
+                       || printf('%02x', (doc_id % 60000 + 1) // 256)
+                       || printf('%02x', (doc_id % 40000 + 1) % 256)
+                       || printf('%02x', (doc_id % 40000 + 1) // 256)
+                       || 'f7000000'
+           WHEN 2 THEN 'ffd8' || 'ffe000104a46494600' || repeat('00', 9)
+                       || 'ffe1' || printf('%04x', doc_id % 32 + 2)
+                       || repeat('00', doc_id % 32)
+                       || (CASE WHEN doc_id % 2 = 0 THEN 'ffc0' ELSE 'ffc2' END)
+                       || '0011' || '08'
+                       || printf('%04x', doc_id % 4000 + 1)
+                       || printf('%04x', doc_id % 5000 + 1)
+                       || '03' || repeat('00', 9)
+           ELSE md5(CAST(doc_id AS VARCHAR))
+         END AS p
+  FROM documents)
+SELECT doc_id,
+       CAST(length(p) // 2 AS BIGINT) AS media_bytes,
+       {media_type_sql('p')} AS media_type,
+       {w_sql} AS media_w,
+       {h_sql} AS media_h
+FROM px ORDER BY doc_id"""
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % 25 == 0)
@@ -885,39 +994,47 @@ def q_distinct_tiles_per_lang(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy: the driver records a per-round prefix of this dict
-    # (r1: 30, r2: 40, r3: 50 rows), so entries are ordered unique-operator
-    # first.  The tail holds twins whose equality with an earlier-recorded
-    # entry is ALSO pinned by pytest (arrow-vs-column tests) and whose
-    # oracle is shared — the least information is lost if a prefix cut
-    # lands there.
+    # Ordering policy (r5): the driver records a per-round PREFIX of this
+    # dict (r1: 30, r2: 40, r3/r4: 50 rows), so the goal is that every
+    # entry has >= 1 driver-recorded green row across rounds.  The head
+    # holds the entries that had never been driver-recorded through r4
+    # (they were added after the cut or parked in the tail) plus this
+    # round's new queries; the middle holds the unique operators; the tail
+    # holds 13 entries recorded green in EVERY round r1-r4 whose semantics
+    # are additionally pytest-pinned (partitioned/distributed join multiset
+    # equality, capped-subset tests, sampling determinism) — the least
+    # information is lost if a prefix cut lands there.
     return {
+        # -- never driver-recorded through r4 (rotate into the record) --
+        "events_value_stats": q_events_value_stats,
+        "events_cube": q_events_cube,
+        "dedup_apply": q_dedup_apply,
+        "set_ops": q_set_ops,
+        "distinct_tiles_per_lang": q_distinct_tiles_per_lang,
+        "ann_cosine_fast": q_ann_cosine_fast,
+        "ann_lsh_fast": q_ann_lsh_fast,
+        "ann_ivf_fast": q_ann_ivf_fast,
+        "near_dup_fast": q_near_dup_fast,
+        "near_dup_capped": q_near_dup_capped,
+        "minhash_lsh_capped": q_minhash_lsh_capped,
+        # -- new this round --
+        "simhash_pairs_wide": q_simhash_pairs_wide,
+        "media_dimensions": q_media_dimensions,
+        # -- unique operators --
         "pip_join": q_pip_join,
-        "pip_join_partitioned": q_pip_join_partitioned,
-        "pip_join_distributed": q_pip_join_distributed,
         "pip_counts": q_pip_counts,
-        "pip_semi": q_pip_semi,
-        "pip_anti": q_pip_anti,
-        "tile_assignment": q_tile_assignment,
-        "tile_density": q_tile_density,
         "tile_rollup": q_tile_rollup,
         "dedup_clusters": q_dedup_clusters,
         "knn": q_knn,
         "range_join": q_range_join,
-        "sample_hash": q_sample_hash,
-        "stratified_sample": q_stratified_sample,
         "raster_lookup": q_raster_lookup,
-        "token_counts": q_token_counts,
-        "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
         "vocab_topk": q_vocab_topk,
         "source_stats": q_source_stats,
         "doc_top_terms": q_doc_top_terms,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,
@@ -937,22 +1054,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_quantiles": q_tile_quantiles,
         "agg_lineitem": q_agg_lineitem,
         "broadcast_join_agg": q_broadcast_join_agg,
-        "window_topk": q_window_topk,
         "events_sessionize": q_events_sessionize,
         "polygon_quality": q_polygon_quality,
         "tile_events_hourly": q_tile_events_hourly,
         "events_json": q_events_json,
-        "events_value_stats": q_events_value_stats,
-        "events_cube": q_events_cube,
-        "dedup_apply": q_dedup_apply,
-        "set_ops": q_set_ops,
-        "distinct_tiles_per_lang": q_distinct_tiles_per_lang,
-        "ann_cosine_fast": q_ann_cosine_fast,
-        "ann_lsh_fast": q_ann_lsh_fast,
-        "ann_ivf_fast": q_ann_ivf_fast,
-        "near_dup_fast": q_near_dup_fast,
-        "near_dup_capped": q_near_dup_capped,
-        "minhash_lsh_capped": q_minhash_lsh_capped,
+        # -- tail: recorded green r1-r4 AND pytest-pinned --
+        "pip_join_partitioned": q_pip_join_partitioned,
+        "pip_join_distributed": q_pip_join_distributed,
+        "pip_semi": q_pip_semi,
+        "pip_anti": q_pip_anti,
+        "tile_assignment": q_tile_assignment,
+        "tile_density": q_tile_density,
+        "sample_hash": q_sample_hash,
+        "stratified_sample": q_stratified_sample,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "fingerprints": q_fingerprints,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "window_topk": q_window_topk,
     }
 
 
@@ -1035,6 +1154,17 @@ WITH docs_both AS (
 )
 SELECT a, b FROM ({D.simhash_near_pairs_sql('docs_both', SIMHASH_PAIR_HAMMING)})
 ORDER BY a, b""",
+        "simhash_pairs_wide": f"""
+WITH docs_both AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SIMHASH_DUP_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {SIMHASH_DUP_MOD} = 0
+)
+SELECT a, b FROM ({D.simhash_near_pairs_sql('docs_both', SIMHASH_PAIR_HAMMING,
+                                            bits=SIMHASH_WIDE_BITS)})
+ORDER BY a, b""",
+        "media_dimensions": _media_dimensions_oracle(),
         "ann_cosine": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                        + " ORDER BY query_id, rank"),
         "ann_cosine_fast": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)

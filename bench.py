@@ -152,7 +152,8 @@ def main():
                  "ann_ivf_fast", "ann_quant", "ann_quant_fast", "near_dup",
                  "near_dup_fast",
                  "agg_lineitem", "events_sessionize", "events_cube",
-                 "vocab_topk", "doc_top_terms", "simhash_pairs"]:
+                 "vocab_topk", "doc_top_terms", "simhash_pairs",
+                 "simhash_pairs_wide", "media_dimensions"]:
         best = None
         for _ in range(2):
             t0 = time.time()

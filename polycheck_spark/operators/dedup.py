@@ -100,7 +100,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (1, 2),
     disables the cap (exact semantics; what the driver oracle checks).
     """
     num, den = threshold
-    sh = _shingles(docs, id_col, text_col).cache()
+    # the shingle table (the corpus's dominant relation) feeds three
+    # consumers (sizes, the pairing self-join's two sides); a lazy
+    # localCheckpoint materializes it once and — unlike .cache(), whose
+    # CacheManager entry lives until session end — is reclaimed by the
+    # ContextCleaner when the result frame is garbage-collected (the
+    # pattern similarity.near_dup_pairs already uses; r4 review finding)
+    sh = _shingles(docs, id_col, text_col).localCheckpoint(eager=False)
+    sh = sh.select(*[F.col(c).alias(c) for c in sh.columns])
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     pair_sh = sh
     if max_doc_freq is not None:

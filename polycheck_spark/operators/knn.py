@@ -104,7 +104,16 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
 
     t0 = targets.select(F.col(target_id).alias("target_id"),
                         F.col(tlon).alias("tlon"), F.col(tlat).alias("tlat"))
-    t_indexed = C.with_cell_id(t0, F.col("tlon"), F.col("tlat"), res).cache()
+    # reused across escalation rounds; lazy localCheckpoint instead of
+    # .cache() so the storage is ContextCleaner-reclaimed when the result
+    # frame is garbage-collected, not held until session end (r4 review
+    # finding — same discipline as tile_rollup/near_dup_pairs).  The
+    # trailing re-alias mints fresh attribute ids over the checkpointed
+    # RDD (see dedup.connected_components: required whenever checkpointed
+    # frames meet themselves in later-round self-joins).
+    t_indexed = (C.with_cell_id(t0, F.col("tlon"), F.col("tlat"), res)
+                 .localCheckpoint(eager=False))
+    t_indexed = t_indexed.select(*[F.col(c).alias(c) for c in t_indexed.columns])
 
     cell_extent = min(360.0, 180.0) / (1 << res)  # min per-axis cell size, degrees
     remaining = q0
@@ -121,7 +130,12 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
             # guarantee — no progress possible, go straight to the fallback
             break
         prev_r_eff = r_eff
-        topk = _topk(_candidates(remaining, t_indexed, r_eff, res), k).cache()
+        # project to the carried columns BEFORE checkpointing (the candidate
+        # join is wide: query + target coords + cell ids), then re-alias
+        topk = (_topk(_candidates(remaining, t_indexed, r_eff, res), k)
+                .select("query_id", "target_id", "dist2", "rank")
+                .localCheckpoint(eager=False))
+        topk = topk.select(*[F.col(c).alias(c) for c in topk.columns])
         guarantee = (r_eff - 1) * cell_extent if r_eff > 1 else 0.0
         stats = topk.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("found"),
@@ -141,7 +155,9 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
             satisfied_ids = satisfied_ids.unionAll(covered_ids).distinct()
         done_parts.append(topk.join(satisfied_ids, "query_id", "left_semi")
                               .select("query_id", "target_id", "dist2", "rank"))
-        remaining = remaining.join(satisfied_ids, "query_id", "left_anti").cache()
+        remaining = (remaining.join(satisfied_ids, "query_id", "left_anti")
+                     .localCheckpoint(eager=False))
+        remaining = remaining.select(*[F.col(c).alias(c) for c in remaining.columns])
         if r_eff >= n or remaining.isEmpty():
             remaining = None
             break

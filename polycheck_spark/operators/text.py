@@ -111,6 +111,12 @@ SCRIPT_RANGES = {
     "ar": "؀-ۿ",     # Arabic
 }
 
+# a script vote only counts when the script holds at least num/den of ALL
+# characters: one stray CJK char in a 10k-token English page must not
+# classify zh (r4 review finding).  Rational threshold, integer
+# cross-multiplication — no float boundary drift between engines.
+SCRIPT_MIN_FRACTION = (1, 20)
+
 
 def _script_chars(text_col, rng: str):
     """Count of characters inside the script range: strip everything else,
@@ -123,21 +129,33 @@ def _script_chars_sql(text_expr: str, rng: str) -> str:
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Language guess: script-range character votes for zh/ru/ar (any
-    non-Latin script present wins, tie-break zh > ru > ar), else the Latin
-    stopword vote with deterministic tie-break en > de > fr.
+    """Language guess: script-range character votes for zh/ru/ar — a script
+    vote counts only when its characters hold >= SCRIPT_MIN_FRACTION of the
+    text (proportional gate: one stray CJK char in a long English page
+    stays en), the densest qualifying script wins with tie-break
+    zh > ru > ar — else the Latin stopword vote with deterministic
+    tie-break en > de > fr.
+
+    The significance gate preserves the vote ordering: an insignificant
+    script is strictly sparser than any significant one (s_i*20 < n_chars
+    <= s_j*20 => s_i < s_j), so adding the gate conjunct never lets a
+    sparser script beat a denser significant one.
 
     Pure Column expressions both stages — no UDFs; the DuckDB twin
-    (:func:`lang_id_sql`) evaluates the identical ranges and stopword sets,
-    so the whole operator is oracle-checkable."""
+    (:func:`lang_id_sql`) evaluates the identical ranges, threshold, and
+    stopword sets, so the whole operator is oracle-checkable."""
+    num, den = SCRIPT_MIN_FRACTION
+    n_chars = F.length(F.col(text_col))
     toks = tokens_col(F.col(text_col))
     hits = {lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
             for lang, words in STOPWORDS.items()}
     sc = {lang: _script_chars(F.col(text_col), rng)
           for lang, rng in SCRIPT_RANGES.items()}
-    guess = (F.when((sc["zh"] > 0) & (sc["zh"] >= sc["ru"]) & (sc["zh"] >= sc["ar"]), "zh")
-              .when((sc["ru"] > 0) & (sc["ru"] >= sc["ar"]), "ru")
-              .when(sc["ar"] > 0, "ar")
+    sig = {lang: (sc[lang] > 0) & (sc[lang] * den >= num * n_chars)
+           for lang in SCRIPT_RANGES}
+    guess = (F.when(sig["zh"] & (sc["zh"] >= sc["ru"]) & (sc["zh"] >= sc["ar"]), "zh")
+              .when(sig["ru"] & (sc["ru"] >= sc["ar"]), "ru")
+              .when(sig["ar"], "ar")
               .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
               .when(hits["de"] >= hits["fr"], "de")
               .otherwise("fr"))
@@ -149,16 +167,19 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def lang_id_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    num, den = SCRIPT_MIN_FRACTION
     t = _tokens_sql(text_col)
     h = {lang: f"len(list_filter({t}, x -> x in ({', '.join(repr(w) for w in words)})))"
          for lang, words in STOPWORDS.items()}
     s = {lang: _script_chars_sql(text_col, rng)
          for lang, rng in SCRIPT_RANGES.items()}
+    g = {lang: f"({s[lang]} > 0 AND {s[lang]} * {den} >= {num} * length({text_col}))"
+         for lang in SCRIPT_RANGES}
     return f"""
 SELECT {id_col},
-       CASE WHEN {s['zh']} > 0 AND {s['zh']} >= {s['ru']} AND {s['zh']} >= {s['ar']} THEN 'zh'
-            WHEN {s['ru']} > 0 AND {s['ru']} >= {s['ar']} THEN 'ru'
-            WHEN {s['ar']} > 0 THEN 'ar'
+       CASE WHEN {g['zh']} AND {s['zh']} >= {s['ru']} AND {s['zh']} >= {s['ar']} THEN 'zh'
+            WHEN {g['ru']} AND {s['ru']} >= {s['ar']} THEN 'ru'
+            WHEN {g['ar']} THEN 'ar'
             WHEN {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']} THEN 'en'
             WHEN {h['de']} >= {h['fr']} THEN 'de'
             ELSE 'fr' END AS lang_guess,

@@ -19,7 +19,7 @@ def _brute_force_duckdb(sf_dir, k, qfilter):
 def test_knn_matches_bruteforce(spark, sf_dir, k, res):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lon, lat = synth.geocode_arith_cols(F.col("doc_id"))
-    pts = docs.select("doc_id", lon.alias("lon"), lat.alias("lat")).cache()
+    pts = docs.select("doc_id", lon.alias("lon"), lat.alias("lat")).localCheckpoint()
     queries = pts.filter(F.col("doc_id") % 17 == 0)
     got = knn_join(queries, pts, k, res=res, query_id="doc_id", target_id="doc_id")
     got_rows = sorted((r["query_id"], r["target_id"], r["rank"])
@@ -34,7 +34,7 @@ def test_knn_pathological_res_stays_bounded(spark, sf_dir):
     retry path completes and the result is still brute-force exact."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lon, lat = synth.geocode_arith_cols(F.col("doc_id"))
-    pts = docs.select("doc_id", lon.alias("lon"), lat.alias("lat")).cache()
+    pts = docs.select("doc_id", lon.alias("lon"), lat.alias("lat")).localCheckpoint()
     queries = pts.filter(F.col("doc_id") % 17 == 0)
     got = knn_join(queries, pts, 5, res=14, max_rounds=1, max_cross_pairs=10,
                    query_id="doc_id", target_id="doc_id")

@@ -15,7 +15,9 @@ from polycheck_spark.operators import pip_join as PJ
 
 @pytest.fixture(scope="module")
 def pages(spark):
-    return synth.geocoded_pages(spark, 4000, partitions=8).cache()
+    # eager localCheckpoint: materialized at fixture setup (so the leak
+    # guard's before-set includes it) and ContextCleaner-reclaimable
+    return synth.geocoded_pages(spark, 4000, partitions=8).localCheckpoint()
 
 
 @pytest.fixture(scope="module")

@@ -62,9 +62,9 @@ def test_tile_rollup_pyramid_consistency(spark, sf_dir):
     import __spark_entry__ as E
     from polycheck_spark.operators import pip_join as PJ
     from pyspark.sql import functions as F
-    pts = E._docs_points(spark, sf_dir).cache()
+    pts = E._docs_points(spark, sf_dir).localCheckpoint()
     n = pts.count()
-    out = PJ.tile_rollup(pts, res_fine=9, res_coarse=3).cache()
+    out = PJ.tile_rollup(pts, res_fine=9, res_coarse=3).localCheckpoint()
     levels = {r["res"] for r in out.select("res").distinct().collect()}
     assert levels == set(range(3, 10))
     for r in (3, 6, 9):
@@ -165,9 +165,9 @@ def test_tile_rollup_weighted(spark, sf_dir):
     from polycheck_spark.operators import pip_join as PJ
     from pyspark.sql import functions as F
     pts = (E._docs_points(spark, sf_dir)
-           .withColumn("w", (F.pmod(F.col("doc_id"), F.lit(7)) + 1))).cache()
+           .withColumn("w", (F.pmod(F.col("doc_id"), F.lit(7)) + 1))).localCheckpoint()
     total = pts.agg(F.sum("w")).collect()[0][0]
-    out = PJ.tile_rollup(pts, res_fine=7, res_coarse=4, weight_col="w").cache()
+    out = PJ.tile_rollup(pts, res_fine=7, res_coarse=4, weight_col="w").localCheckpoint()
     for r in (4, 7):
         lvl = out.filter(F.col("res") == r)
         assert lvl.agg(F.sum("n_docs")).collect()[0][0] == total

@@ -202,3 +202,55 @@ def test_dedup_job_exact_and_resumable(spark, tmp_path):
                    .select("url", "text_md5", "n_dups").collect())
     assert rows2 == sorted((r["url"], r["text_md5"], r["n_dups"]) for r in rows)
     assert 3 in res2["run"]["processed"] and len(res2["run"]["skipped"]) == 3
+
+
+def test_ann_topk_job_exact_and_resumable(spark, tmp_path):
+    """Resumable two-stage ANN job: with the integer prefilter disabled
+    (top_m >= any bucket candidate count) the job's merged top-k must equal
+    ivf_topk BIT-FOR-BIT (same modulus centroids, same probe assignment,
+    same Column cosine, same tie-breaks) — the strongest pin available,
+    since ivf_topk itself is driver-oracle-checked.  A kill before a bucket
+    commits, then a resume, must reproduce the identical output; the
+    default prefilter width must be deterministic with high recall of the
+    unpruned result."""
+    from pyspark.sql import functions as F
+    from polycheck_spark.data import synth
+    from polycheck_spark.operators import similarity as SIM
+    from polycheck_spark.jobs.ann_topk_job import run_job as ann_run
+
+    n_vecs, n_buckets, dim, k, n_probe, q_mod = 3000, 6, 16, 5, 4, 101
+    common = dict(dim=dim, k=k, n_probe=n_probe, q_mod=q_mod)
+
+    clean = str(tmp_path / "ann_clean")
+    ref = ann_run(spark, n_vecs, n_buckets, clean, top_m=10**9, **common)
+    assert len(ref["run"]["processed"]) == n_buckets
+    got = sorted((r["query_id"], r["target_id"], r["rank"]) for r in
+                 spark.read.parquet(ref["topk_path"]).collect())
+
+    emb = synth.generate_embeddings(spark, n_vecs, dim)
+    q = emb.filter(F.col("vec_id") % q_mod == 0)
+    exp = sorted((r["query_id"], r["target_id"], r["rank"]) for r in
+                 SIM.ivf_topk(emb, q, k, n_probe=n_probe,
+                              n_vectors=n_vecs).collect())
+    assert got == exp and got
+
+    # kill before bucket 4 commits, resume with identical params
+    resumed = str(tmp_path / "ann_resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ann_run(spark, n_vecs, n_buckets, resumed, top_m=10**9,
+                fail_on=lambda b: b == 4, **common)
+    assert CheckpointedWriter(resumed).completed_buckets() == {0, 1, 2, 3}
+    out = ann_run(spark, n_vecs, n_buckets, resumed, top_m=10**9, **common)
+    assert sorted(out["run"]["skipped"]) == [0, 1, 2, 3]
+    assert sorted(out["run"]["processed"]) == [4, 5]
+    got2 = sorted((r["query_id"], r["target_id"], r["rank"]) for r in
+                  spark.read.parquet(out["topk_path"]).collect())
+    assert got2 == got
+
+    # default prefilter (m = 4k): deterministic re-rank with high recall
+    pruned_dir = str(tmp_path / "ann_m")
+    pruned = ann_run(spark, n_vecs, n_buckets, pruned_dir, **common)
+    got_m = {(r["query_id"], r["target_id"]) for r in
+             spark.read.parquet(pruned["topk_path"]).collect()}
+    exact_pairs = {(a, b) for a, b, _ in got}
+    assert len(got_m & exact_pairs) >= 0.9 * len(exact_pairs)

@@ -126,7 +126,7 @@ def test_stream_tile_counts_watermark_semantics(spark, tmp_path):
     the final watermark stay unemitted (append-mode contract)."""
     import time as _time
     source_dir = str(tmp_path / "ordered_src")
-    pages_all = synth.generate_pages(spark, 9000).cache()
+    pages_all = synth.generate_pages(spark, 9000).localCheckpoint()
     bounds = pages_all.agg(F.min("warc_ts"), F.max("warc_ts")).collect()[0]
     lo, hi = bounds[0], bounds[1]
     import datetime as _dt
@@ -174,7 +174,7 @@ def test_stream_tile_counts_replay_is_exactly_once(spark, tmp_path):
     import time as _time
     import datetime as _dt
     source_dir = str(tmp_path / "replay_src")
-    pages_all = synth.generate_pages(spark, 9000).cache()
+    pages_all = synth.generate_pages(spark, 9000).localCheckpoint()
     bounds = pages_all.agg(F.min("warc_ts"), F.max("warc_ts")).collect()[0]
     lo, hi = bounds[0], bounds[1]
     span = (hi - lo) / 3

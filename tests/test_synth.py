@@ -51,7 +51,7 @@ def test_html_embeds_text_bytes(spark):
 def test_source_format_roundtrip(spark, sf_dir, tmp_path):
     """Source breadth: the same table round-trips through JSON lines (full
     rows, arbitrary text) and CSV (scalar columns) without value drift."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).cache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).localCheckpoint()
     ref = sorted((r["doc_id"], r["text"], r["lang"]) for r in docs.collect())
 
     jdir = str(tmp_path / "docs_json")

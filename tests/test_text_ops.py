@@ -9,7 +9,7 @@ from polycheck_spark.operators import dedup as D, similarity as S, text as TX
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint()
 
 
 def _duck(sf_dir, sql):
@@ -42,9 +42,15 @@ def test_lang_id(spark, sf_dir, docs):
 
 
 def test_lang_id_script_ranges(spark, tmp_path):
-    """Non-Latin scripts must win over the stopword vote, with identical
-    classification in both engines (Java regex and RE2 must agree on the
-    literal-range classes — pinned cross-engine on real script text)."""
+    """Non-Latin scripts must win over the stopword vote — but only when
+    they hold >= 1/20 of the characters (the proportional gate: one stray
+    CJK char in a long English doc stays en, r4 review finding) — with
+    identical classification in both engines (Java regex and RE2 must
+    agree on the literal-range classes — pinned cross-engine on real
+    script text)."""
+    long_en = ("the of and to in is that it for a plain english sentence "
+               "padded with many more latin words so the single embedded "
+               "character stays far below the five percent script gate")
     rows = [
         (0, "the of and to in is that it for a plain english sentence"),
         (1, "这是一个中文文档 的 网页 内容 with some ascii noise"),
@@ -53,10 +59,14 @@ def test_lang_id_script_ranges(spark, tmp_path):
         (4, "der die das und ist nicht ein mit"),
         (5, "mixed 中文 and русский равные"),  # ru chars > zh chars -> ru
         (6, ""),                                 # empty: falls to en tie-break
+        (7, long_en + " 中"),                    # 1 CJK char, gated -> en
+        (8, long_en + " это русский текст и ещё много русских слов в хвосте"),
+        # ^ cyrillic tail >= 5% of the combined text -> ru despite en bulk
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["lang_guess"] for r in TX.lang_id(docs).collect()}
-    assert out == {0: "en", 1: "zh", 2: "ru", 3: "ar", 4: "de", 5: "ru", 6: "en"}
+    assert out == {0: "en", 1: "zh", 2: "ru", 3: "ar", 4: "de", 5: "ru",
+                   6: "en", 7: "en", 8: "ru"}
 
     path = str(tmp_path / "script_docs.parquet")
     docs.coalesce(1).write.mode("overwrite").parquet(path)
@@ -246,7 +256,7 @@ def test_near_dup_nondefault_planes_match_oracle(spark, sf_dir):
 def test_lsh_ann_plumbing_on_testdata(spark, sf_dir):
     """On unstructured random embeddings LSH recall is inherently weak; here
     we assert the pipeline shape: valid ranks, no self-matches, sane size."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
     q = emb.filter(F.col("vec_id") % 50 == 0)
     rows = S.lsh_bucket_topk(emb, q, 5).collect()
     assert rows
@@ -521,7 +531,7 @@ def test_ann_outputs_have_no_duplicate_pairs(spark, sf_dir):
     target, pairwise-distinct probe keys). Pin that invariant — a
     violation would silently duplicate output rows in BOTH engines, so the
     oracle differential alone cannot catch it."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
     q = emb.filter(F.col("vec_id") % 25 == 0)
     for df, keys in ((S.lsh_bucket_topk(emb, q, 5), ("query_id", "target_id")),
                      (S.ivf_topk(emb, q, 5), ("query_id", "target_id")),
