@@ -277,6 +277,68 @@ def q_doc_top_terms(spark, sf_dir):
             .orderBy("doc_id", "term_rank"))
 
 
+# --- boilerplate-line removal over a synthesized line-structured corpus -----
+# the testdata texts are single-line, so the query builds C4-shaped documents
+# deterministically: tokens regrouped into 8-token lines, plus a shared
+# boilerplate line prepended to every doc_id % 3 == 0 document — identical
+# construction in both engines, so the strip operator is value-checkable.
+BOILERPLATE_LINE = "all rights reserved terms of service apply"
+BOILERPLATE_MOD = 3
+LINE_TOKENS = 8
+BOILERPLATE_MAX_DF = 5
+
+
+def _lined_docs(spark, sf_dir):
+    toked = (_docs(spark, sf_dir).select("doc_id", "text")
+             .withColumn("__toks", TX.tokens_col(F.col("text"))))
+    t = F.col("__toks")
+    nl = F.floor((F.size(t) + F.lit(LINE_TOKENS - 1)) / F.lit(LINE_TOKENS)).cast("int")
+    arr = (F.when(F.size(t) > 0,
+                  F.transform(F.sequence(F.lit(0), nl - 1),
+                              lambda i: F.concat_ws(
+                                  " ", F.slice(t, i * LINE_TOKENS + 1, LINE_TOKENS))))
+           .otherwise(F.array(F.lit(""))))
+    lined = F.array_join(arr, "\n")
+    final = (F.when(F.pmod(F.col("doc_id"), F.lit(BOILERPLATE_MOD)) == 0,
+                    F.concat(F.lit(BOILERPLATE_LINE + "\n"), lined))
+             .otherwise(lined))
+    return toked.select("doc_id", final.alias("text"))
+
+
+_LINED_CTE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {BOILERPLATE_MOD} = 0
+            THEN '{BOILERPLATE_LINE}' || chr(10) || lined ELSE lined END AS text
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(tl) > 0 THEN
+           array_to_string(list_transform(
+             range(CAST(ceil(len(tl) / {LINE_TOKENS}.0) AS INT)),
+             i -> array_to_string(tl[i * {LINE_TOKENS} + 1 : i * {LINE_TOKENS} + {LINE_TOKENS}], ' ')),
+             chr(10))
+         ELSE '' END AS lined
+  FROM (SELECT doc_id, {TX._tokens_sql('text')} AS tl FROM documents))
+"""
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """C4-style boilerplate-line removal end-to-end: per-line doc freq ->
+    hot-line drop -> positional reassembly; clean text value-checked via
+    md5 (compact, byte-exact)."""
+    out = TX.strip_boilerplate(_lined_docs(spark, sf_dir), BOILERPLATE_MAX_DF)
+    return (out.select("doc_id", "n_lines", "n_lines_kept",
+                       F.md5(F.col("clean_text")).alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+def q_hot_lines(spark, sf_dir):
+    """The boilerplate profile itself: lines held by more than the cap's
+    worth of documents, with their document frequencies."""
+    freq = TX.line_frequencies(_lined_docs(spark, sf_dir))
+    return (freq.filter(F.col("line_df") > BOILERPLATE_MAX_DF)
+            .orderBy("line"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir)).orderBy("text_md5")
 
@@ -1020,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --
         "simhash_pairs_wide": q_simhash_pairs_wide,
         "media_dimensions": q_media_dimensions,
+        "boilerplate_strip": q_boilerplate_strip,
+        "hot_lines": q_hot_lines,
         # -- unique operators --
         "pip_join": q_pip_join,
         "pip_counts": q_pip_counts,
@@ -1165,6 +1229,15 @@ SELECT a, b FROM ({D.simhash_near_pairs_sql('docs_both', SIMHASH_PAIR_HAMMING,
                                             bits=SIMHASH_WIDE_BITS)})
 ORDER BY a, b""",
         "media_dimensions": _media_dimensions_oracle(),
+        "boilerplate_strip": f"""
+WITH src AS ({_LINED_CTE})
+SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5
+FROM ({TX.strip_boilerplate_sql('src', BOILERPLATE_MAX_DF)})
+ORDER BY doc_id""",
+        "hot_lines": f"""
+WITH src AS ({_LINED_CTE})
+SELECT line, line_df FROM ({TX.line_frequencies_sql('src')})
+WHERE line_df > {BOILERPLATE_MAX_DF} ORDER BY line""",
         "ann_cosine": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                        + " ORDER BY query_id, rank"),
         "ann_cosine_fast": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)

@@ -153,7 +153,7 @@ def main():
                  "near_dup_fast",
                  "agg_lineitem", "events_sessionize", "events_cube",
                  "vocab_topk", "doc_top_terms", "simhash_pairs",
-                 "simhash_pairs_wide", "media_dimensions"]:
+                 "simhash_pairs_wide", "media_dimensions", "boilerplate_strip"]:
         best = None
         for _ in range(2):
             t0 = time.time()

@@ -325,6 +325,102 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- boilerplate-line removal ----------------------------------------------------
+
+def line_frequencies(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", delim: str = "\n") -> DataFrame:
+    """(line, line_df): per-line document frequency — repeats of a line
+    WITHIN one document count once (the C4-style boilerplate statistic).
+    Two map-side-combined shuffles over (doc, line) pairs; the line table
+    is at most the corpus's line count, never a cross product."""
+    import re
+    parts = F.split(F.col(text_col), re.escape(delim), -1)
+    pairs = (docs.select(F.col(id_col).alias("id"), F.explode(parts).alias("line"))
+             .distinct())
+    return pairs.groupBy("line").agg(F.count(F.lit(1)).alias("line_df"))
+
+
+def strip_boilerplate(docs: DataFrame, max_line_df: int, *,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      delim: str = "\n") -> DataFrame:
+    """C4-style boilerplate-line removal: drop every line that appears in
+    MORE than ``max_line_df`` documents (cookie banners, nav bars, terms
+    footers), reassemble the rest in original order.  Emits
+    (id, n_lines, n_lines_kept, clean_text); a fully-boilerplate document
+    keeps an empty clean_text rather than disappearing.
+
+    Shape for scale: line df is two map-side-combined aggregations; the
+    hot-line table (lines with df > cap) is corpus/cap-bounded and rides
+    a semi-join; reassembly is ONE groupBy over kept lines with an
+    array_sort on (pos, line) structs — per-document sorts, no global
+    sort, no UDFs anywhere.  ``delim`` is treated literally in both
+    engines (regex-escaped for Spark's split).
+    """
+    import re
+    parts = F.split(F.col(text_col), re.escape(delim), -1)
+    lines = docs.select(F.col(id_col).alias("id"),
+                        F.posexplode(parts).alias("pos", "line"))
+    dfreq = (lines.select("id", "line").distinct()
+             .groupBy("line").agg(F.count(F.lit(1)).alias("line_df")))
+    hot = dfreq.filter(F.col("line_df") > max_line_df).select("line")
+    kept = lines.join(hot, "line", "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+        lambda x: x["line"])
+    agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(ordered, delim).alias("clean_text"))
+    base = docs.select(F.col(id_col).alias("id"), F.size(parts).alias("n_lines"))
+    return (base.join(agg, "id", "left")
+            .select(F.col("id").alias(id_col), "n_lines",
+                    F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("int")
+                     .alias("n_lines_kept"),
+                    F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text")))
+
+
+def _delim_sql(delim: str) -> str:
+    if delim == "\n":
+        return "chr(10)"
+    return "'" + delim.replace("'", "''") + "'"
+
+
+def line_frequencies_sql(table: str, id_col: str = "doc_id",
+                         text_col: str = "text", delim: str = "\n") -> str:
+    d = _delim_sql(delim)
+    return f"""
+SELECT line, COUNT(*) AS line_df
+FROM (SELECT DISTINCT {id_col} AS id, unnest(string_split({text_col}, {d})) AS line
+      FROM {table})
+GROUP BY 1
+"""
+
+
+def strip_boilerplate_sql(table: str, max_line_df: int, id_col: str = "doc_id",
+                          text_col: str = "text", delim: str = "\n") -> str:
+    """DuckDB twin of :func:`strip_boilerplate` (same df statistic, same
+    positional reassembly via ORDER BY pos inside string_agg)."""
+    d = _delim_sql(delim)
+    return f"""
+WITH bp_parts AS (SELECT {id_col} AS id, string_split({text_col}, {d}) AS pl FROM {table}),
+bp_lines AS (
+  SELECT id, s AS pos, pl[s] AS line
+  FROM (SELECT id, pl, unnest(generate_series(1, len(pl))) AS s FROM bp_parts)),
+bp_hot AS (
+  SELECT line FROM (SELECT DISTINCT id, line FROM bp_lines)
+  GROUP BY line HAVING COUNT(*) > {max_line_df}),
+bp_kept AS (SELECT * FROM bp_lines WHERE line NOT IN (SELECT line FROM bp_hot)),
+bp_agg AS (
+  SELECT id, COUNT(*) AS n_lines_kept,
+         string_agg(line, {d} ORDER BY pos) AS clean_text
+  FROM bp_kept GROUP BY id)
+SELECT p.id AS {id_col},
+       CAST(len(p.pl) AS INT) AS n_lines,
+       CAST(coalesce(a.n_lines_kept, 0) AS INT) AS n_lines_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM bp_parts p LEFT JOIN bp_agg a USING (id)
+"""
+
+
 # --- document fingerprint ------------------------------------------------------
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -125,6 +125,54 @@ def test_doc_top_terms_rarity_beats_frequency(spark):
     assert top[(0, 2)] == "the"
 
 
+def test_strip_boilerplate_semantics(spark):
+    """C4-style line removal: a line held by more than max_line_df docs
+    drops everywhere (within-doc repeats count once toward df), order is
+    preserved on reassembly, a fully-boilerplate doc keeps an empty
+    clean_text, and an empty doc survives as its single empty line."""
+    bp = "all rights reserved"
+    rows = [
+        (0, f"{bp}\nunique zero line\nmore zero"),
+        (1, f"{bp}\nunique one line"),
+        (2, f"unique two line\n{bp}"),
+        (3, bp),
+        (4, "repeated\nrepeated\nsolo"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["clean_text"])
+           for r in TX.strip_boilerplate(docs, 2).collect()}
+    assert out[0] == (3, 2, "unique zero line\nmore zero")
+    assert out[1] == (2, 1, "unique one line")
+    assert out[2] == (2, 1, "unique two line")
+    assert out[3] == (1, 0, "")            # every line was boilerplate
+    assert out[4] == (3, 3, "repeated\nrepeated\nsolo")
+    assert out[5] == (1, 1, "")            # one empty line, df 1, kept
+    freq = {r["line"]: r["line_df"] for r in TX.line_frequencies(docs).collect()}
+    assert freq[bp] == 4 and freq["repeated"] == 1
+
+
+def test_strip_boilerplate_matches_oracle(spark, tmp_path):
+    """Cross-engine: Spark split/posexplode/array_sort reassembly must equal
+    DuckDB string_split/generate_series/string_agg ORDER BY pos, including
+    the empty-split convention (both engines give [''] for '')."""
+    import duckdb
+    bp = "cookie banner text"
+    rows = [(i, f"{bp}\ndoc {i} body line\ntail {i * 3}") for i in range(5)]
+    rows += [(10, "solo document\nwith lines"), (11, ""), (12, bp)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "lined_docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ldocs AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    got = _sorted_rows(TX.strip_boilerplate(docs, 3))
+    exp = sorted(con.execute(TX.strip_boilerplate_sql("ldocs", 3)).fetchall())
+    assert got == exp and got
+    gotf = _sorted_rows(TX.line_frequencies(docs))
+    expf = sorted(con.execute(TX.line_frequencies_sql("ldocs")).fetchall())
+    assert gotf == expf
+
+
 def test_exact_duplicates(spark, sf_dir, docs):
     got = _sorted_rows(D.exact_duplicates(docs))
     exp = sorted(_duck(sf_dir, D.exact_duplicates_sql("documents")))
