@@ -277,6 +277,78 @@ def q_doc_top_terms(spark, sf_dir):
             .orderBy("doc_id", "term_rank"))
 
 
+# --- URL canonicalization / crawl dedup over synthesized URLs ---------------
+# documents carry no url column, so the query derives one deterministically
+# from doc_id — scheme, host-casing, www., query, fragment and trailing-slash
+# variants — identically in both engines; moduli (host 5, path 13) are sized
+# so canonical collisions exist at every sf.
+
+def _synth_url_col():
+    from polycheck_spark.operators import web as W  # noqa: F401
+    d = F.col("doc_id")
+    base = F.concat(F.lit("site"), F.pmod(d, F.lit(5)).cast("string"),
+                    F.lit(".example.com"))
+    r4 = F.pmod(d, F.lit(4))
+    hv = (F.when(r4 == 0, F.concat(F.lit("www."), base))
+           .when(r4 == 1, F.concat(F.lit("WWW."), F.upper(base)))
+           .when(r4 == 2, base)
+           .otherwise(F.upper(base)))
+    scheme = (F.when(F.pmod(d, F.lit(3)) == 0, F.lit("https://"))
+               .otherwise(F.lit("http://")))
+    path = F.concat(F.lit("/p/"), F.pmod(d, F.lit(13)).cast("string"))
+    trail = F.when(F.pmod(d, F.lit(5)) == 0, F.lit("/")).otherwise(F.lit(""))
+    q = (F.when(F.pmod(d, F.lit(2)) == 0,
+                F.concat(F.lit("?utm="), F.pmod(d, F.lit(6)).cast("string")))
+          .otherwise(F.lit("")))
+    frag = F.when(F.pmod(d, F.lit(11)) == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return F.concat(scheme, hv, path, trail, q, frag)
+
+
+_SYNTH_URL_CTE = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END)
+       || (CASE doc_id % 4
+             WHEN 0 THEN 'www.' || base
+             WHEN 1 THEN 'WWW.' || upper(base)
+             WHEN 2 THEN base
+             ELSE upper(base) END)
+       || '/p/' || CAST(doc_id % 13 AS VARCHAR)
+       || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+       || (CASE WHEN doc_id % 2 = 0 THEN '?utm=' || CAST(doc_id % 6 AS VARCHAR) ELSE '' END)
+       || (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+FROM (SELECT doc_id, 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS base
+      FROM documents)
+"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """Crawl-frontier URL dedup: scheme/case/www./query/fragment/slash
+    variants collapse to canonical groups."""
+    from polycheck_spark.operators import web as W
+    pages = _docs(spark, sf_dir).select("doc_id", _synth_url_col().alias("url"))
+    return W.url_dedup_groups(pages).orderBy("canonical_url")
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl profile: fetch counts vs distinct canonical URLs."""
+    from polycheck_spark.operators import web as W
+    pages = _docs(spark, sf_dir).select("doc_id", _synth_url_col().alias("url"))
+    return W.host_stats(pages).orderBy("host")
+
+
+def _url_dedup_oracle() -> str:
+    from polycheck_spark.operators import web as W
+    return (f"WITH urls AS ({_SYNTH_URL_CTE}) "
+            f"SELECT * FROM ({W.url_dedup_groups_sql('urls')}) "
+            f"ORDER BY canonical_url")
+
+
+def _host_stats_oracle() -> str:
+    from polycheck_spark.operators import web as W
+    return (f"WITH urls AS ({_SYNTH_URL_CTE}) "
+            f"SELECT * FROM ({W.host_stats_sql('urls')}) ORDER BY host")
+
+
 # --- boilerplate-line removal over a synthesized line-structured corpus -----
 # the testdata texts are single-line, so the query builds C4-shaped documents
 # deterministically: tokens regrouped into 8-token lines, plus a shared
@@ -1084,6 +1156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dimensions": q_media_dimensions,
         "boilerplate_strip": q_boilerplate_strip,
         "hot_lines": q_hot_lines,
+        "url_dedup": q_url_dedup,
+        "host_stats": q_host_stats,
         # -- unique operators --
         "pip_join": q_pip_join,
         "pip_counts": q_pip_counts,
@@ -1238,6 +1312,8 @@ ORDER BY doc_id""",
 WITH src AS ({_LINED_CTE})
 SELECT line, line_df FROM ({TX.line_frequencies_sql('src')})
 WHERE line_df > {BOILERPLATE_MAX_DF} ORDER BY line""",
+        "url_dedup": _url_dedup_oracle(),
+        "host_stats": _host_stats_oracle(),
         "ann_cosine": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                        + " ORDER BY query_id, rank"),
         "ann_cosine_fast": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)

@@ -153,7 +153,8 @@ def main():
                  "near_dup_fast",
                  "agg_lineitem", "events_sessionize", "events_cube",
                  "vocab_topk", "doc_top_terms", "simhash_pairs",
-                 "simhash_pairs_wide", "media_dimensions", "boilerplate_strip"]:
+                 "simhash_pairs_wide", "media_dimensions", "boilerplate_strip",
+                 "url_dedup"]:
         best = None
         for _ in range(2):
             t0 = time.time()

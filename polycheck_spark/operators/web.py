@@ -1,0 +1,99 @@
+"""Web-pipeline URL operators: canonicalization, URL-level dedup, host stats.
+
+A Common-Crawl-style pipeline dedupes fetches by CANONICAL url before any
+content pass (the same page is crawled as http/https, with/without www.,
+with tracking query strings, with/without a trailing slash).  Everything
+here is pure Column string arithmetic (JVM, whole-stage codegen) with
+DuckDB SQL twins built from the same primitive ops (strpos/substr/lower) —
+no parse_url dependence, since DuckDB has no equivalent and cross-engine
+value-exactness is the contract.
+
+Canonical form: scheme dropped, host lowercased with one leading ``www.``
+stripped, query string and fragment dropped, trailing slashes stripped.
+Path case is PRESERVED (paths are case-sensitive on real servers; only the
+authority is case-insensitive per RFC 3986).
+
+Scale notes: canonicalization is a map-side projection; URL-level dedup is
+one groupBy on the canonical string (map-side partial aggregation); host
+stats aggregate the same projection — no shuffles beyond the one hash
+aggregation each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def canonical_url_col(url):
+    """Canonical form of a URL column (see module docstring)."""
+    after_scheme = F.substring_index(url, "://", -1)
+    host = F.substring_index(after_scheme, "/", 1)
+    rest = F.substring(after_scheme, F.length(host) + 1, F.length(after_scheme))
+    host_l = F.lower(host)
+    host_c = F.when(host_l.startswith("www."),
+                    F.substring(host_l, 5, F.length(host_l))).otherwise(host_l)
+    rest_c = F.regexp_replace(
+        F.substring_index(F.substring_index(rest, "?", 1), "#", 1),
+        "/+$", "")
+    return F.concat(host_c, rest_c)
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url_col` — same op order, same
+    single-occurrence assumptions (one '://', first '?'/'#' cut)."""
+    after = (f"(CASE WHEN strpos({url_expr}, '://') > 0 "
+             f"THEN substr({url_expr}, strpos({url_expr}, '://') + 3) "
+             f"ELSE {url_expr} END)")
+    host = f"split_part({after}, '/', 1)"
+    rest = f"substr({after}, length({host}) + 1)"
+    host_l = f"lower({host})"
+    host_c = (f"(CASE WHEN substr({host_l}, 1, 4) = 'www.' "
+              f"THEN substr({host_l}, 5) ELSE {host_l} END)")
+    cut = (f"(CASE WHEN strpos({rest}, '?') > 0 "
+           f"THEN substr({rest}, 1, strpos({rest}, '?') - 1) ELSE {rest} END)")
+    cut2 = (f"(CASE WHEN strpos({cut}, '#') > 0 "
+            f"THEN substr({cut}, 1, strpos({cut}, '#') - 1) ELSE {cut} END)")
+    rest_c = f"regexp_replace({cut2}, '/+$', '')"
+    return f"({host_c} || {rest_c})"
+
+
+def url_dedup_groups(pages: DataFrame, *, id_col: str = "doc_id",
+                     url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_variants, min_id): groups of fetches that collapse
+    to one canonical URL — the crawl-frontier dedup statistic.  Only groups
+    with more than one variant are returned (the interesting mass)."""
+    return (pages.groupBy(canonical_url_col(F.col(url_col)).alias("canonical_url"))
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min(id_col).alias("min_id"))
+            .filter(F.col("n_variants") > 1))
+
+
+def url_dedup_groups_sql(table: str, id_col: str = "doc_id",
+                         url_col: str = "url") -> str:
+    c = canonical_url_sql(url_col)
+    return f"""
+SELECT {c} AS canonical_url, COUNT(*) AS n_variants, MIN({id_col}) AS min_id
+FROM {table} GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def host_stats(pages: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """(host, n_fetches, n_canonical): per-host fetch counts and distinct
+    canonical URLs — the per-domain crawl profile (its gap is the per-host
+    duplicate-fetch mass, the crawl-politeness/skew signal)."""
+    canon = canonical_url_col(F.col(url_col))
+    host = F.substring_index(canon, "/", 1)
+    return (pages.select(host.alias("host"), canon.alias("c"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_fetches"),
+                 F.countDistinct("c").alias("n_canonical")))
+
+
+def host_stats_sql(table: str, url_col: str = "url") -> str:
+    c = canonical_url_sql(url_col)
+    return f"""
+SELECT split_part(c, '/', 1) AS host,
+       COUNT(*) AS n_fetches, COUNT(DISTINCT c) AS n_canonical
+FROM (SELECT {c} AS c FROM {table})
+GROUP BY 1
+"""

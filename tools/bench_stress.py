@@ -153,6 +153,50 @@ def main():
                             "sec": round(dt, 2),
                             "vecs_per_sec": round((n_e + n_einj) / dt)}
 
+    # --- simhash wide pair join: 250k docs at the 60-bit scale width ---------
+    # the width-scaling claim measured: at 16 bits the band key space is
+    # 2^5-2^6 and this corpus would be quadratic (every band value hot); at
+    # 60 bits each Hamming-2 band has 2^20 values, so only true near-dups
+    # collide.  Verbatim injected copies (identical signature, Hamming 0)
+    # must ALL be found — banding recall is 1 by construction.
+    n_s = 250_000
+    sbase = (synth.generate_pages(spark, n_s)
+             .select(F.xxhash64("url").alias("doc_id"), "text"))
+    sdup = (sbase.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+            .select((F.col("doc_id") + 1).alias("doc_id"), "text"))
+    sdocs = sbase.unionByName(sdup)
+    n_sinj = sdup.count()
+    t0 = time.time()
+    spairs = D.simhash_near_pairs(sdocs, 2, bits=60)
+    sfound = spairs.filter(F.col("b") == F.col("a") + 1).count()
+    dt = time.time() - t0
+    out["simhash_pairs_wide_250k"] = {
+        "docs": n_s + n_sinj, "bits": 60, "max_hamming": 2,
+        "injected": n_sinj, "injected_found": sfound,
+        "recall": round(sfound / n_sinj, 4), "sec": round(dt, 2),
+        "docs_per_sec": round((n_s + n_sinj) / dt)}
+
+    # --- boilerplate-line removal: 2M lined pages ----------------------------
+    # every third page carries the shared boilerplate line; the strip must
+    # drop exactly those lines and nothing else (organic lines are unique
+    # per page at this corpus size)
+    from polycheck_spark.operators import text as TX
+    n_b = 2_000_000
+    bp = "all rights reserved terms of service apply"
+    bpages = synth.generate_pages(spark, n_b).select(
+        F.xxhash64("url").alias("doc_id"),
+        F.when(F.pmod(F.xxhash64("url"), F.lit(3)) == 0,
+               F.concat(F.lit(bp + "\n"), F.col("text")))
+         .otherwise(F.col("text")).alias("text"))
+    t0 = time.time()
+    stripped = TX.strip_boilerplate(bpages, 5)
+    dropped = stripped.agg(
+        F.sum(F.col("n_lines") - F.col("n_lines_kept"))).collect()[0][0]
+    dt = time.time() - t0
+    out["boilerplate_strip_2m"] = {
+        "docs": n_b, "lines_dropped": int(dropped), "sec": round(dt, 2),
+        "docs_per_sec": round(n_b / dt)}
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/stress.json", "w") as f:
         json.dump(out, f, indent=2)
