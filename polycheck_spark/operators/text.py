@@ -349,12 +349,18 @@ def strip_boilerplate(docs: DataFrame, max_line_df: int, *,
     (id, n_lines, n_lines_kept, clean_text); a fully-boilerplate document
     keeps an empty clean_text rather than disappearing.
 
-    Shape for scale: line df is two map-side-combined aggregations; the
-    hot-line table (lines with df > cap) is corpus/cap-bounded and rides
-    a semi-join; reassembly is ONE groupBy over kept lines with an
-    array_sort on (pos, line) structs — per-document sorts, no global
-    sort, no UDFs anywhere.  ``delim`` is treated literally in both
-    engines (regex-escaped for Spark's split).
+    Shape for scale: the source is scanned exactly TWICE — once for the
+    line-df aggregation and once for the line rows (plan-pinned); every
+    doc splits to >= 1 line (the empty string splits to ['']), so hotness
+    rides a LEFT join flag and ONE groupBy produces total count, kept
+    count, and the reassembled text together — no third scan for a base
+    table, no docs lost when every line is boilerplate.  The hot-line
+    table (df > cap) is corpus/cap-bounded; reassembly sorts (pos, line)
+    structs per document — no global sort, no UDFs anywhere.
+    (Checkpointing the exploded lines would reach one scan, but lines ARE
+    the corpus — re-reading columnar parquet beats materializing them.)
+    ``delim`` is treated literally in both engines (regex-escaped for
+    Spark's split).
     """
     import re
     parts = F.split(F.col(text_col), re.escape(delim), -1)
@@ -362,20 +368,20 @@ def strip_boilerplate(docs: DataFrame, max_line_df: int, *,
                         F.posexplode(parts).alias("pos", "line"))
     dfreq = (lines.select("id", "line").distinct()
              .groupBy("line").agg(F.count(F.lit(1)).alias("line_df")))
-    hot = dfreq.filter(F.col("line_df") > max_line_df).select("line")
-    kept = lines.join(hot, "line", "left_anti")
+    hot = (dfreq.filter(F.col("line_df") > max_line_df)
+           .select("line", F.lit(True).alias("__hot")))
+    marked = lines.join(hot, "line", "left")
+    keep = F.col("__hot").isNull()
     ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+        F.array_sort(F.collect_list(
+            F.when(keep, F.struct(F.col("pos"), F.col("line"))))),
         lambda x: x["line"])
-    agg = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_lines_kept"),
-        F.array_join(ordered, delim).alias("clean_text"))
-    base = docs.select(F.col(id_col).alias("id"), F.size(parts).alias("n_lines"))
-    return (base.join(agg, "id", "left")
-            .select(F.col("id").alias(id_col), "n_lines",
-                    F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("int")
-                     .alias("n_lines_kept"),
-                    F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text")))
+    return (marked.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_lines"),
+                 F.count(F.when(keep, F.lit(1))).cast("int").alias("n_lines_kept"),
+                 F.array_join(ordered, delim).alias("clean_text"))
+            .select(F.col("id").alias(id_col), "n_lines", "n_lines_kept",
+                    "clean_text"))
 
 
 def _delim_sql(delim: str) -> str:

@@ -173,6 +173,17 @@ def test_strip_boilerplate_matches_oracle(spark, tmp_path):
     assert gotf == expf
 
 
+def test_strip_boilerplate_scans_source_twice(spark, sf_dir):
+    """The strip must read the source exactly twice (line-df branch + line
+    rows) — the flag-join single-groupBy shape; a third scan for a base
+    table (the first implementation) or per-branch rescans would multiply
+    the dominant cost at corpus scale."""
+    pdocs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (TX.strip_boilerplate(pdocs, 3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("FileScan parquet") == 2, plan
+
+
 def test_exact_duplicates(spark, sf_dir, docs):
     got = _sorted_rows(D.exact_duplicates(docs))
     exp = sorted(_duck(sf_dir, D.exact_duplicates_sql("documents")))
