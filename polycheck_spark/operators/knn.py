@@ -95,8 +95,11 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
     end-to-end on the sf0.1 bench.
     """
     spark = queries.sparkSession
+    nt_known = n_targets
     if res is None:
-        res = auto_res(n_targets if n_targets is not None else targets.count(), k)
+        if nt_known is None:
+            nt_known = targets.count()
+        res = auto_res(nt_known, k)
     q0 = queries.select(F.col(query_id).alias("query_id"),
                         F.col(qlon).alias("qlon"), F.col(qlat).alias("qlat"))
     qix, qiy = C.ixiy_cols(F.col("qlon"), F.col("qlat"), res)
@@ -104,94 +107,109 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
 
     t0 = targets.select(F.col(target_id).alias("target_id"),
                         F.col(tlon).alias("tlon"), F.col(tlat).alias("tlat"))
-    # reused across escalation rounds; lazy localCheckpoint instead of
-    # .cache() so the storage is ContextCleaner-reclaimed when the result
-    # frame is garbage-collected, not held until session end (r4 review
-    # finding — same discipline as tile_rollup/near_dup_pairs).  The
-    # trailing re-alias mints fresh attribute ids over the checkpointed
-    # RDD (see dedup.connected_components: required whenever checkpointed
-    # frames meet themselves in later-round self-joins).
-    t_indexed = (C.with_cell_id(t0, F.col("tlon"), F.col("tlat"), res)
-                 .localCheckpoint(eager=False))
-    t_indexed = t_indexed.select(*[F.col(c).alias(c) for c in t_indexed.columns])
+    # Storage protocol (r4 review finding; r5-measured): the index, each
+    # round's top-k and the shrinking query set ARE cached — knn_join is
+    # eager (per-round actions) and each frame is reused by several
+    # actions, where a lazy localCheckpoint forces full materialization on
+    # the first take(1) probe (interleaved A/B at sf0.1: checkpointed
+    # rounds ran measurably slower).  Nothing leaks: before returning, the
+    # FINAL result (queries x k rows — small) is eagerly localCheckpoint-ed
+    # and every intermediate cache is unpersisted in a finally (including
+    # the budget-refusal error path), so per-call CacheManager state is
+    # zero and the result's storage is ContextCleaner-reclaimed with the
+    # returned frame.
+    caches: list[DataFrame] = []
+    try:
+        t_indexed = C.with_cell_id(t0, F.col("tlon"), F.col("tlat"), res).cache()
+        caches.append(t_indexed)
 
-    cell_extent = min(360.0, 180.0) / (1 << res)  # min per-axis cell size, degrees
-    remaining = q0
-    done_parts: list[DataFrame] = []
-    ring = initial_ring
-    n = 1 << res
+        cell_extent = min(360.0, 180.0) / (1 << res)  # min per-axis cell size, degrees
+        remaining = q0
+        done_parts: list[DataFrame] = []
+        ring = initial_ring
+        n = 1 << res
 
-    prev_r_eff = 0
-    for _ in range(max_rounds):
-        r_eff = min(ring, n, RING_CAP)
-        if r_eff == prev_r_eff:
-            # ring growth is clamped (RING_CAP or grid edge): another round
-            # would recompute the identical candidate join with the same
-            # guarantee — no progress possible, go straight to the fallback
-            break
-        prev_r_eff = r_eff
-        # project to the carried columns BEFORE checkpointing (the candidate
-        # join is wide: query + target coords + cell ids), then re-alias
-        topk = (_topk(_candidates(remaining, t_indexed, r_eff, res), k)
-                .select("query_id", "target_id", "dist2", "rank")
-                .localCheckpoint(eager=False))
-        topk = topk.select(*[F.col(c).alias(c) for c in topk.columns])
-        guarantee = (r_eff - 1) * cell_extent if r_eff > 1 else 0.0
-        stats = topk.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("found"),
-            F.max("dist2").alias("worst"))
-        satisfied_ids = stats.filter(
-            (F.col("found") >= k) & (F.col("worst") <= F.lit(guarantee * guarantee)))\
-            .select("query_id")
-        # a ring that reaches every edge of the grid from this query's cell
-        # saw ALL targets — its top-k is complete whatever the guarantee says.
-        # No query can be covered before r_eff reaches half the grid, so the
-        # extra union/distinct stays out of the early-round plans entirely.
-        if 2 * r_eff >= n - 1:
-            full_cover = F.lit(r_eff) >= F.greatest(
-                F.col("qix"), F.lit(n - 1) - F.col("qix"),
-                F.col("qiy"), F.lit(n - 1) - F.col("qiy"))
-            covered_ids = remaining.filter(full_cover).select("query_id")
-            satisfied_ids = satisfied_ids.unionAll(covered_ids).distinct()
-        done_parts.append(topk.join(satisfied_ids, "query_id", "left_semi")
-                              .select("query_id", "target_id", "dist2", "rank"))
-        remaining = (remaining.join(satisfied_ids, "query_id", "left_anti")
-                     .localCheckpoint(eager=False))
-        remaining = remaining.select(*[F.col(c).alias(c) for c in remaining.columns])
-        if r_eff >= n or remaining.isEmpty():
-            remaining = None
-            break
-        ring *= 2
+        prev_r_eff = 0
+        for _ in range(max_rounds):
+            r_eff = min(ring, n, RING_CAP)
+            if r_eff == prev_r_eff:
+                # ring growth is clamped (RING_CAP or grid edge): another
+                # round would recompute the identical candidate join with
+                # the same guarantee — no progress possible, go straight to
+                # the fallback
+                break
+            prev_r_eff = r_eff
+            # project to the carried columns BEFORE caching (the candidate
+            # join is wide: query + target coords + cell ids)
+            topk = (_topk(_candidates(remaining, t_indexed, r_eff, res), k)
+                    .select("query_id", "target_id", "dist2", "rank")
+                    .cache())
+            caches.append(topk)
+            guarantee = (r_eff - 1) * cell_extent if r_eff > 1 else 0.0
+            stats = topk.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("found"),
+                F.max("dist2").alias("worst"))
+            satisfied_ids = stats.filter(
+                (F.col("found") >= k) & (F.col("worst") <= F.lit(guarantee * guarantee)))\
+                .select("query_id")
+            # a ring that reaches every edge of the grid from this query's
+            # cell saw ALL targets — its top-k is complete whatever the
+            # guarantee says.  No query can be covered before r_eff reaches
+            # half the grid, so the extra union/distinct stays out of the
+            # early-round plans entirely.
+            if 2 * r_eff >= n - 1:
+                full_cover = F.lit(r_eff) >= F.greatest(
+                    F.col("qix"), F.lit(n - 1) - F.col("qix"),
+                    F.col("qiy"), F.lit(n - 1) - F.col("qiy"))
+                covered_ids = remaining.filter(full_cover).select("query_id")
+                satisfied_ids = satisfied_ids.unionAll(covered_ids).distinct()
+            done_parts.append(topk.join(satisfied_ids, "query_id", "left_semi")
+                                  .select("query_id", "target_id", "dist2", "rank"))
+            # cached: reused by the isEmpty probe, the next round's candidate
+            # explode AND its anti-join base
+            remaining = remaining.join(satisfied_ids, "query_id", "left_anti").cache()
+            caches.append(remaining)
+            if r_eff >= n or remaining.isEmpty():
+                remaining = None
+                break
+            ring *= 2
 
-    if remaining is not None and not remaining.isEmpty():
-        # stragglers (rounds exhausted before the ring covered the grid):
-        # brute force only within a bounded pair budget, else retry the whole
-        # join at a coarser resolution (rings cover area 4x faster per halving
-        # and the full-cover rule guarantees completion by res=2)
-        nt = n_targets if n_targets is not None else t0.count()
-        n_rem = remaining.count()
-        if n_rem * max(nt, 1) > max_cross_pairs:
-            if res <= 2:
-                raise ValueError(
-                    f"knn fallback would cross-join {n_rem} x {nt} pairs "
-                    f"(> max_cross_pairs={max_cross_pairs}) even at res=2; "
-                    f"raise max_rounds or partition the query set")
-            coarse = knn_join(remaining, t0, k, res=max(2, res // 2),
-                              n_targets=nt, initial_ring=initial_ring,
-                              max_rounds=max_rounds, max_cross_pairs=max_cross_pairs,
-                              query_id="query_id", target_id="target_id",
-                              qlon="qlon", qlat="qlat", tlon="tlon", tlat="tlat")
-            done_parts.append(coarse.select("query_id", "target_id", "dist2", "rank"))
-        else:
-            cross = remaining.crossJoin(t0).withColumn(
-                "dist2",
-                (F.col("qlon") - F.col("tlon")) ** 2 + (F.col("qlat") - F.col("tlat")) ** 2)
-            done_parts.append(_topk(cross, k).select("query_id", "target_id", "dist2", "rank"))
+        if remaining is not None and not remaining.isEmpty():
+            # stragglers (rounds exhausted before the ring covered the
+            # grid): brute force only within a bounded pair budget, else
+            # retry the whole join at a coarser resolution (rings cover
+            # area 4x faster per halving and the full-cover rule guarantees
+            # completion by res=2)
+            nt = n_targets if n_targets is not None else t0.count()
+            n_rem = remaining.count()
+            if n_rem * max(nt, 1) > max_cross_pairs:
+                if res <= 2:
+                    raise ValueError(
+                        f"knn fallback would cross-join {n_rem} x {nt} pairs "
+                        f"(> max_cross_pairs={max_cross_pairs}) even at res=2; "
+                        f"raise max_rounds or partition the query set")
+                coarse = knn_join(remaining, t0, k, res=max(2, res // 2),
+                                  n_targets=nt, initial_ring=initial_ring,
+                                  max_rounds=max_rounds, max_cross_pairs=max_cross_pairs,
+                                  query_id="query_id", target_id="target_id",
+                                  qlon="qlon", qlat="qlat", tlon="tlon", tlat="tlat")
+                done_parts.append(coarse.select("query_id", "target_id", "dist2", "rank"))
+            else:
+                cross = remaining.crossJoin(t0).withColumn(
+                    "dist2",
+                    (F.col("qlon") - F.col("tlon")) ** 2 + (F.col("qlat") - F.col("tlat")) ** 2)
+                done_parts.append(_topk(cross, k).select("query_id", "target_id", "dist2", "rank"))
 
-    out = done_parts[0]
-    for p in done_parts[1:]:
-        out = out.unionAll(p)
-    return out
+        out = done_parts[0]
+        for p in done_parts[1:]:
+            out = out.unionAll(p)
+        # pin the small final result (queries x k rows) eagerly: the
+        # caller's actions read the checkpointed RDD, nothing recomputes
+        # after the caches drop
+        return out.localCheckpoint()
+    finally:
+        for df in caches:
+            df.unpersist()
 
 
 def knn_sql_oracle(points_cte: str, queries_filter: str, k: int,
