@@ -411,6 +411,58 @@ def q_hot_lines(spark, sf_dir):
             .orderBy("line"))
 
 
+C4_MIN_TOKENS = 20
+C4_LEN_BUCKET = 32
+
+
+def q_c4_pipeline(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline (the C4 shape), composed
+    from this engine's operators in one lazy plan: line-structured corpus
+    -> boilerplate-line strip -> token-count + language gates on the
+    CLEANED text -> exact dedup of cleaned texts (min-id survivor) ->
+    per-(lang, length-bucket) corpus profile.  Every stage is the same
+    operator the driver checks individually; this row value-checks their
+    composition."""
+    from pyspark.sql import Window
+    lined = _lined_docs(spark, sf_dir)
+    cleaned = (TX.strip_boilerplate(lined, BOILERPLATE_MAX_DF)
+               .select("doc_id", F.col("clean_text").alias("text")))
+    lang = TX.lang_id(cleaned).select("doc_id", "lang_guess")
+    toks = TX.token_counts(cleaned).select("doc_id", "n_tokens")
+    j = (cleaned.join(lang, "doc_id").join(toks, "doc_id")
+         .filter(F.col("n_tokens") >= C4_MIN_TOKENS))
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    surv = (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (surv.groupBy("lang_guess",
+                         F.floor(F.col("n_tokens") / C4_LEN_BUCKET)
+                          .cast("long").alias("len_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"))
+            .orderBy("lang_guess", "len_bucket"))
+
+
+def _c4_pipeline_oracle() -> str:
+    return f"""
+WITH src AS ({_LINED_CTE}),
+cleaned AS (SELECT doc_id, clean_text AS text
+            FROM ({TX.strip_boilerplate_sql('src', BOILERPLATE_MAX_DF)})),
+lang AS ({TX.lang_id_sql('cleaned')}),
+tok AS ({TX.token_counts_sql('cleaned')}),
+j AS (
+  SELECT c.doc_id, c.text, l.lang_guess, t.n_tokens
+  FROM cleaned c JOIN lang l USING (doc_id) JOIN tok t USING (doc_id)
+  WHERE t.n_tokens >= {C4_MIN_TOKENS}),
+surv AS (
+  SELECT * FROM j
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+SELECT lang_guess,
+       CAST(FLOOR(n_tokens / {C4_LEN_BUCKET}.0) AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM surv GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir)).orderBy("text_md5")
 
@@ -1158,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_lines": q_hot_lines,
         "url_dedup": q_url_dedup,
         "host_stats": q_host_stats,
+        "c4_pipeline": q_c4_pipeline,
         # -- unique operators --
         "pip_join": q_pip_join,
         "pip_counts": q_pip_counts,
@@ -1314,6 +1367,7 @@ SELECT line, line_df FROM ({TX.line_frequencies_sql('src')})
 WHERE line_df > {BOILERPLATE_MAX_DF} ORDER BY line""",
         "url_dedup": _url_dedup_oracle(),
         "host_stats": _host_stats_oracle(),
+        "c4_pipeline": _c4_pipeline_oracle(),
         "ann_cosine": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
                        + " ORDER BY query_id, rank"),
         "ann_cosine_fast": (SIM.cosine_topk_sql("embeddings", "vec_id % 25 = 0", KNN_K)
