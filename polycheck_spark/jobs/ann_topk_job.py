@@ -88,8 +88,13 @@ def run_job(spark, num_vecs: int, n_buckets: int, out_dir: str,
 
     staged_dir = os.path.join(out_dir, "_staged_emb")
     probes_dir = os.path.join(out_dir, "_staged_probes")
+    # EVERY parameter that shapes any bucket's output belongs here, not just
+    # the staging inputs: bucket completion markers are parameter-insensitive,
+    # so a resume with a changed k/top_m against old lineage would silently
+    # mix old and new bucket outputs — the params mismatch resets lineage
     stage_params = {"vecs": num_vecs, "buckets": n_buckets, "dim": dim,
-                    "n_probe": n_probe, "q_mod": q_mod,
+                    "n_probe": n_probe, "q_mod": q_mod, "k": k,
+                    "top_m": top_m,
                     "n_centroids": n_centroids, "path": staged_dir}
     if writer.staged_record(STAGE) != stage_params:
         writer.clear_stage(STAGE)

@@ -89,8 +89,13 @@ def run_job(spark, num_vecs: int, n_buckets: int, out_dir: str,
             dim, dup_mod, DUP_OFFSET)
 
     staged_dir = os.path.join(out_dir, "_staged_emb")
+    # threshold included although staging doesn't depend on it: bucket
+    # completion markers are parameter-insensitive, so a resume with a
+    # changed threshold against old lineage would mix bucket outputs
+    # rescored under different thresholds — the mismatch resets lineage
     stage_params = {"vecs": num_vecs, "buckets": n_buckets, "dim": dim,
                     "dup_mod": dup_mod, "planes": n_planes,
+                    "threshold": list(threshold),
                     "path": staged_dir}
     if writer.staged_record(STAGE) != stage_params:
         writer.clear_stage(STAGE)
