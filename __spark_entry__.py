@@ -425,8 +425,15 @@ def q_c4_pipeline(spark, sf_dir):
     composition."""
     from pyspark.sql import Window
     lined = _lined_docs(spark, sf_dir)
+    # the cleaned frame feeds THREE branches (lang, tokens, the dedup join)
+    # and Spark does not dedupe common subplans — without the lazy
+    # localCheckpoint the whole strip pipeline (2 source scans + its
+    # aggregations) executes once per branch (6 scans, plan-measured);
+    # checkpointed it runs once and the branches read the pinned RDD
+    # (ContextCleaner-reclaimed with the result)
     cleaned = (TX.strip_boilerplate(lined, BOILERPLATE_MAX_DF)
-               .select("doc_id", F.col("clean_text").alias("text")))
+               .select("doc_id", F.col("clean_text").alias("text"))
+               .localCheckpoint(eager=False))
     lang = TX.lang_id(cleaned).select("doc_id", "lang_guess")
     toks = TX.token_counts(cleaned).select("doc_id", "n_tokens")
     j = (cleaned.join(lang, "doc_id").join(toks, "doc_id")
