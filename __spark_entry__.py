@@ -605,7 +605,13 @@ def q_media_dimensions(spark, sf_dir):
 
 def _media_dimensions_oracle() -> str:
     from polycheck_spark.operators.multimodal import media_dims_sql, media_type_sql
-    w_sql, h_sql = media_dims_sql("p", jpeg_sof_pos_expr="49 + 2 * (doc_id % 32)")
+    # the SOF-position formula only holds for the synthesized JPEG rows
+    # (doc_id % 4 = 2); gate it so a raw-branch md5 that happens to start
+    # 'ffd8ff' (~2^-24/row — certain at 10^8 docs) yields NULL dims instead
+    # of CAST('0x' || '') hard-erroring the whole oracle query
+    w_sql, h_sql = media_dims_sql(
+        "p",
+        jpeg_sof_pos_expr="CASE WHEN doc_id % 4 = 2 THEN 49 + 2 * (doc_id % 32) END")
     return f"""
 WITH px AS (
   SELECT doc_id,

@@ -150,11 +150,16 @@ def run_job(spark, num_vecs: int, n_buckets: int, out_dir: str,
                     tids = grp["vec_id"].to_numpy(np.int64)
                     tmat = np.array(list(grp["tq"]), dtype=np.int64)
                     scores = tmat @ qmat.T                   # B x Q, exact int64
-                    scores[tids[:, None] == qids[None, :]] = np.iinfo(np.int64).min
+                    # self-match sentinel: int64 min + 1, NOT int64 min —
+                    # lexsort negates the key and -int64_min overflows back
+                    # to int64_min, which would sort self rows FIRST and
+                    # burn a top-m slot before the keep filter drops them
+                    self_sentinel = np.iinfo(np.int64).min + 1
+                    scores[tids[:, None] == qids[None, :]] = self_sentinel
                     mm = min(top_m, scores.shape[0])
                     for j in range(scores.shape[1]):
                         order = np.lexsort((tids, -scores[:, j]))[:mm]
-                        keep = order[scores[order, j] != np.iinfo(np.int64).min]
+                        keep = order[scores[order, j] != self_sentinel]
                         out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
                         out_t.append(tids[keep])
                         out_s.append(scores[keep, j])

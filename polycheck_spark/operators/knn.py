@@ -180,7 +180,9 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int, *,
             # retry the whole join at a coarser resolution (rings cover
             # area 4x faster per halving and the full-cover rule guarantees
             # completion by res=2)
-            nt = n_targets if n_targets is not None else t0.count()
+            if nt_known is None:
+                nt_known = t0.count()
+            nt = nt_known
             n_rem = remaining.count()
             if n_rem * max(nt, 1) > max_cross_pairs:
                 if res <= 2:

@@ -370,7 +370,11 @@ def strip_boilerplate(docs: DataFrame, max_line_df: int, *,
              .groupBy("line").agg(F.count(F.lit(1)).alias("line_df")))
     hot = (dfreq.filter(F.col("line_df") > max_line_df)
            .select("line", F.lit(True).alias("__hot")))
-    marked = lines.join(hot, "line", "left")
+    # hot is cap-bounded tiny by construction (<= line_occurrences /
+    # max_line_df rows): pin the broadcast so an AQE stats misestimate can
+    # never demote this to a shuffle of the full line relation — at 100x
+    # the line table IS the corpus (plan-pinned in test_plans.py)
+    marked = lines.join(F.broadcast(hot), "line", "left")
     keep = F.col("__hot").isNull()
     ordered = F.transform(
         F.array_sort(F.collect_list(

@@ -25,35 +25,42 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def canonical_url_col(url):
-    """Canonical form of a URL column (see module docstring)."""
-    after_scheme = F.substring_index(url, "://", -1)
-    host = F.substring_index(after_scheme, "/", 1)
-    rest = F.substring(after_scheme, F.length(host) + 1, F.length(after_scheme))
+    """Canonical form of a URL column (see module docstring).
+
+    The scheme is split at the FIRST '://' occurrence (a '://' inside a
+    query string — e.g. a redirect parameter — must not move the split),
+    and the query/fragment are cut BEFORE the host is extracted, so
+    path-less URLs like ``http://ex.com?utm=1`` canonicalize to the bare
+    host instead of smuggling the query into it."""
+    pos = F.locate("://", url)
+    after_scheme = F.when(pos > 0,
+                          url.substr(pos + F.lit(3), F.length(url))).otherwise(url)
+    cut = F.substring_index(F.substring_index(after_scheme, "?", 1), "#", 1)
+    host = F.substring_index(cut, "/", 1)
+    rest = cut.substr(F.length(host) + F.lit(1), F.length(cut))
     host_l = F.lower(host)
     host_c = F.when(host_l.startswith("www."),
-                    F.substring(host_l, 5, F.length(host_l))).otherwise(host_l)
-    rest_c = F.regexp_replace(
-        F.substring_index(F.substring_index(rest, "?", 1), "#", 1),
-        "/+$", "")
+                    host_l.substr(F.lit(5), F.length(host_l))).otherwise(host_l)
+    rest_c = F.regexp_replace(rest, "/+$", "")
     return F.concat(host_c, rest_c)
 
 
 def canonical_url_sql(url_expr: str) -> str:
-    """DuckDB twin of :func:`canonical_url_col` — same op order, same
-    single-occurrence assumptions (one '://', first '?'/'#' cut)."""
+    """DuckDB twin of :func:`canonical_url_col` — same op order: first
+    '://' occurrence, '?' then '#' cut before host extraction."""
     after = (f"(CASE WHEN strpos({url_expr}, '://') > 0 "
              f"THEN substr({url_expr}, strpos({url_expr}, '://') + 3) "
              f"ELSE {url_expr} END)")
-    host = f"split_part({after}, '/', 1)"
-    rest = f"substr({after}, length({host}) + 1)"
+    cutq = (f"(CASE WHEN strpos({after}, '?') > 0 "
+            f"THEN substr({after}, 1, strpos({after}, '?') - 1) ELSE {after} END)")
+    cut = (f"(CASE WHEN strpos({cutq}, '#') > 0 "
+           f"THEN substr({cutq}, 1, strpos({cutq}, '#') - 1) ELSE {cutq} END)")
+    host = f"split_part({cut}, '/', 1)"
+    rest = f"substr({cut}, length({host}) + 1)"
     host_l = f"lower({host})"
     host_c = (f"(CASE WHEN substr({host_l}, 1, 4) = 'www.' "
               f"THEN substr({host_l}, 5) ELSE {host_l} END)")
-    cut = (f"(CASE WHEN strpos({rest}, '?') > 0 "
-           f"THEN substr({rest}, 1, strpos({rest}, '?') - 1) ELSE {rest} END)")
-    cut2 = (f"(CASE WHEN strpos({cut}, '#') > 0 "
-            f"THEN substr({cut}, 1, strpos({cut}, '#') - 1) ELSE {cut} END)")
-    rest_c = f"regexp_replace({cut2}, '/+$', '')"
+    rest_c = f"regexp_replace({rest}, '/+$', '')"
     return f"({host_c} || {rest_c})"
 
 

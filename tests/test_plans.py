@@ -80,6 +80,19 @@ def test_near_dup_arrow_buckets_computed_once(spark, sf_dir):
     assert plan.count("FileScan parquet") == 2, plan
 
 
+def test_strip_boilerplate_hot_join_is_broadcast(spark, sf_dir):
+    """The hot-line flag join must broadcast the hot table (cap-bounded
+    tiny by construction) — a shuffle there moves the full line relation,
+    which IS the corpus at 100 TB.  The broadcast is pinned with
+    F.broadcast so an AQE stats misestimate can't demote it."""
+    from polycheck_spark.operators import text as TX
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(TX.strip_boilerplate(docs, 3))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
 def test_vocab_topk_uses_take_ordered(spark, sf_dir):
     """The vocabulary top-k must plan as TakeOrderedAndProject (per-
     partition top-k + driver merge) — a global Sort over the vocabulary

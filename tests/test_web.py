@@ -17,6 +17,11 @@ def test_canonical_url_goldens(spark):
         ("http://example.com/?q=1", "example.com"),   # root + query
         ("http://wwwx.example.com/a", "wwwx.example.com/a"),  # www. only as prefix+dot
         ("http://example.com/CaseKeptPath", "example.com/CaseKeptPath"),
+        # query/fragment on a path-less URL must not leak into the host
+        ("http://Example.com?utm=1", "example.com"),
+        ("http://example.com#frag", "example.com"),
+        # '://' inside a query param: split at the FIRST occurrence
+        ("http://example.com/r?to=https://other.com/x", "example.com/r"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i int, url string")
