@@ -183,6 +183,47 @@ def q_dedup_clusters(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# A deterministic LSH FALSE POSITIVE (found by offline search over the
+# engines' shared md5->affine minhash chain): the two texts share a 12-token
+# block (10 shingles) whose shingles attain the band-0 minima in BOTH
+# documents, so their band-0 keys collide — yet exact shingle Jaccard is
+# 10/74 ~ 0.135, far under the 1/2 verification threshold.  This is the
+# event LSH theory promises at rate J^band_size per band; planting one at
+# sf0.01 makes the verification stage's effect value-checkable.
+VERIFIED_FP_IDS = (2_000_000_000, 2_000_000_001)
+VERIFIED_FP_TEXTS = tuple(
+    "crawl frontier pages share this exact boilerplate navigation header "
+    "block every day " + " ".join(f"{p}w{j}" for j in range(32))
+    for p in ("alpha137", "bravo86"))
+VERIFIED_THRESHOLD = (1, 2)
+
+
+def _docs_with_fp(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    fp = spark.createDataFrame(
+        list(zip(VERIFIED_FP_IDS, VERIFIED_FP_TEXTS)), "doc_id long, text string")
+    return docs.unionAll(fp)
+
+
+def _docs_with_fp_cte() -> str:
+    planted = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+        for i, t in zip(VERIFIED_FP_IDS, VERIFIED_FP_TEXTS))
+    return f"SELECT doc_id, text FROM documents UNION ALL {planted}"
+
+
+def q_dedup_verified_clusters(spark, sf_dir):
+    """The verified fuzzy-dedup pipeline: LSH candidates -> exact-Jaccard
+    edge verification -> connected components.  Unlike ``dedup_clusters``
+    (raw-candidate CC), the planted band-collision false positive is
+    REJECTED by the verification stage, so the two planted docs stay in
+    separate clusters — the pytest pins that raw CC merges them."""
+    corpus = _docs_with_fp(spark, sf_dir)
+    return (D.verified_dup_clusters(corpus, VERIFIED_THRESHOLD)
+            .select(F.col("id").alias("doc_id"), "cluster_id")
+            .orderBy("doc_id"))
+
+
 def q_tile_density(spark, sf_dir):
     pts = _docs_points(spark, sf_dir)
     return (PJ.assign_tiles(pts, res=DENSITY_RES)
@@ -1217,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_capped": q_near_dup_capped,
         "minhash_lsh_capped": q_minhash_lsh_capped,
         # -- new this round --
+        "dedup_verified_clusters": q_dedup_verified_clusters,
         "simhash_pairs_wide": q_simhash_pairs_wide,
         "media_dimensions": q_media_dimensions,
         "boilerplate_strip": q_boilerplate_strip,
@@ -1319,6 +1361,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": (D.connected_components_sql(
             "SELECT doc_id FROM documents",
             D.lsh_candidate_pairs_sql("documents"),
+            id_col="doc_id", out_id="doc_id")
+            + " ORDER BY doc_id"),
+        "dedup_verified_clusters": (D.connected_components_sql(
+            f"SELECT doc_id FROM ({_docs_with_fp_cte()})",
+            D.verified_pairs_sql(f"({_docs_with_fp_cte()})",
+                                 VERIFIED_THRESHOLD),
             id_col="doc_id", out_id="doc_id")
             + " ORDER BY doc_id"),
         "tile_quantiles": (

@@ -415,6 +415,88 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """
 
 
+# --- candidate verification (the stage between LSH and clustering) ----------
+
+def verify_pairs_jaccard(docs: DataFrame, pairs: DataFrame,
+                         threshold: tuple[int, int] = (1, 2), *,
+                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact shingle-set Jaccard verification RESTRICTED to candidate pairs.
+
+    LSH candidates are probabilistic: a band collision happens with
+    probability J^band_size per band, so at corpus scale plenty of pairs
+    with low true Jaccard collide on some band (a planted instance is
+    pinned in tests/test_dedup.py).  Clustering raw candidates merges
+    those false positives transitively; this stage scores each candidate
+    pair with the EXACT shingle-set Jaccard (the same integer
+    cross-multiplication :func:`ngram_jaccard_pairs` uses) and keeps only
+    pairs >= num/den.
+
+    Scale shape: unlike :func:`ngram_jaccard_pairs` (whose pairing
+    self-join is quadratic per shared shingle), the work here is bounded
+    by |candidates| x doc shingle size — the shingle table joins once per
+    pair endpoint, never against itself.  Pairs with zero common shingles
+    drop out (J = 0 < any threshold).
+    """
+    num, den = threshold
+    # one shingle materialization feeds sizes + both endpoint joins
+    sh = _shingles(docs, id_col, text_col).localCheckpoint(eager=False)
+    sh = sh.select(*[F.col(c).alias(c) for c in sh.columns])
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("id").alias("a"), "shingle")
+    shb = sh.select(F.col("id").alias("b"), "shingle")
+    common = (pairs.select("a", "b").join(sha, "a").join(shb, ["b", "shingle"])
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_common")))
+    return (common
+            .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "n_a"), "a")
+            .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "n_b"), "b")
+            .filter(F.col("n_common") * den
+                    >= num * (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .select("a", "b"))
+
+
+def verified_dup_clusters(docs: DataFrame, threshold: tuple[int, int] = (1, 2), *,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          max_band_freq: int | None = None) -> DataFrame:
+    """The production fuzzy-dedup composition: LSH candidate generation ->
+    exact-Jaccard edge verification -> connected components.
+
+    This is the shape C4/RefinedWeb-class pipelines actually run — CC over
+    UNVERIFIED candidates (the :func:`lsh_candidate_pairs` output directly)
+    lets every band-collision false positive merge two true clusters
+    transitively, and one bad edge per 10^4 candidates is plenty to fuse
+    the corpus's biggest clusters at 10^12 docs.  Returns (id, cluster_id)
+    for every document.
+    """
+    cand = lsh_candidate_pairs(docs, id_col, text_col,
+                               max_band_freq=max_band_freq)
+    edges = verify_pairs_jaccard(docs, cand, threshold,
+                                 id_col=id_col, text_col=text_col)
+    verts = docs.select(id_col)
+    return connected_components(verts, edges, id_col=id_col)
+
+
+def verified_pairs_sql(table: str, threshold: tuple[int, int] = (1, 2),
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_band_freq: int | None = None) -> str:
+    """DuckDB twin of ``verify_pairs_jaccard(lsh_candidate_pairs(...))`` —
+    same candidates, same integer-exact Jaccard gate."""
+    num, den = threshold
+    return f"""
+WITH vcand AS ({lsh_candidate_pairs_sql(table, id_col, text_col,
+                                        max_band_freq=max_band_freq)}),
+vsh AS ({_shingles_sql(table, id_col, text_col)}),
+vsizes AS (SELECT id, COUNT(*) AS n FROM vsh GROUP BY id),
+vcommon AS (
+  SELECT c.a, c.b, COUNT(*) AS n_common
+  FROM vcand c JOIN vsh x ON x.id = c.a
+               JOIN vsh y ON y.id = c.b AND y.shingle = x.shingle
+  GROUP BY 1, 2)
+SELECT m.a, m.b
+FROM vcommon m JOIN vsizes sa ON sa.id = m.a JOIN vsizes sb ON sb.id = m.b
+WHERE m.n_common * {den} >= {num} * (sa.n + sb.n - m.n_common)
+"""
+
+
 # --- duplicate-cluster assignment (connected components) ---------------------
 
 def connected_components(vertices: DataFrame, edges: DataFrame, *,

@@ -510,6 +510,40 @@ def test_connected_components_vs_union_find(spark):
     assert got == exp
 
 
+def test_verified_clusters_reject_planted_lsh_false_positive(spark, sf_dir):
+    """The verified fuzzy-dedup pipeline must NOT merge an LSH false
+    positive: the planted pair collides on minhash band 0 (a real band
+    collision, found by offline search) but has exact Jaccard 10/74 —
+    raw-candidate CC merges the two docs, the verification stage keeps
+    them apart, and every true (verified) pair still clusters together."""
+    import __spark_entry__ as E
+    corpus = E._docs_with_fp(spark, sf_dir).localCheckpoint()
+    fa, fb = E.VERIFIED_FP_IDS
+
+    cand_df = D.lsh_candidate_pairs(corpus)
+    cand = {(r["a"], r["b"]) for r in cand_df.collect()}
+    assert (fa, fb) in cand, "planted band collision must be a candidate"
+
+    verified = {(r["a"], r["b"]) for r in
+                D.verify_pairs_jaccard(corpus, cand_df, (1, 2)).collect()}
+    assert (fa, fb) not in verified
+    assert verified and verified < cand
+
+    edf = spark.createDataFrame(sorted(cand), "a long, b long")
+    raw = {r["id"]: r["cluster_id"] for r in
+           D.connected_components(corpus.select(F.col("doc_id").alias("id")),
+                                  edf).collect()}
+    ver = {r["id"]: r["cluster_id"] for r in
+           D.verified_dup_clusters(corpus, (1, 2)).collect()}
+    assert raw[fa] == raw[fb], "raw CC merges the false positive"
+    assert ver[fa] != ver[fb], "verification keeps them apart"
+    # verification strictly increases the cluster count (the bite)
+    assert len(set(ver.values())) > len(set(raw.values()))
+    # and every surviving true pair still ends up co-clustered
+    for x, y in verified:
+        assert ver[x] == ver[y]
+
+
 def test_connected_components_long_chain_converges_logarithmically(spark):
     """A 64-vertex path has diameter 63: pure hash-to-min would need 63
     rounds, so finishing under max_iters=10 proves the pointer-jumping
