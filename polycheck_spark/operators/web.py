@@ -64,6 +64,55 @@ def canonical_url_sql(url_expr: str) -> str:
     return f"({host_c} || {rest_c})"
 
 
+# --- html -> text extraction -------------------------------------------------
+# The input_hint schema carries the raw fetch as ``html BINARY``; the ``text``
+# column every downstream stage consumes is DERIVED from it.  This is the
+# first stage of a Common-Crawl pipeline, so it must be deterministic and
+# cheap: everything below is Column regex/string arithmetic (JVM, no Python),
+# with a DuckDB twin over the same primitives.  Cross-engine regex notes:
+# Spark compiles Java regex, DuckDB compiles RE2 — every pattern used here
+# ((?is) flags, non-greedy .*?, character classes, \s) behaves identically in
+# both; backreferences (Java-only) are deliberately avoided (script and style
+# blocks are two passes, not one with \1).
+
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def html_to_text_col(html):
+    """Visible text of an HTML payload column (binary or string).
+
+    Stages: drop <script>/<style> blocks (content and all), drop comments,
+    strip remaining tags, decode the six ubiquitous entities (&amp; LAST, so
+    double-escapes like ``&amp;lt;`` decode one level — standard order), and
+    normalize whitespace runs to single spaces.  Numeric character
+    references beyond &#39; are left literal (documented subset — a full
+    HTML5 entity table is a lookup join, not a regex).
+    """
+    s = html.cast("string")
+    s = F.regexp_replace(s, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def html_to_text_sql(html_expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text_col` — same passes, same order
+    (DuckDB's regexp_replace needs the explicit 'g' flag Spark implies)."""
+    s = html_expr
+    s = f"regexp_replace({s}, '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g')"
+    s = f"regexp_replace({s}, '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g')"
+    s = f"regexp_replace({s}, '(?s)<!--.*?-->', ' ', 'g')"
+    s = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        lit = rep.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
+
 def url_dedup_groups(pages: DataFrame, *, id_col: str = "doc_id",
                      url_col: str = "url") -> DataFrame:
     """(canonical_url, n_variants, min_id): groups of fetches that collapse

@@ -38,6 +38,75 @@ def test_canonical_url_goldens(spark):
     assert got == exp
 
 
+def test_html_extract_goldens(spark):
+    cases = [
+        ("<html><body><p>Hello  world</p></body></html>", "Hello world"),
+        ("<p>a &amp; b &lt; c &gt; d &quot;e&quot; &#39;f&#39;</p>",
+         "a & b < c > d \"e\" 'f'"),
+        ("<script>var x = '<p>no</p>';</script>after", "after"),
+        ("<STYLE media='all'>p { color: red }</STYLE>visible", "visible"),
+        ("<!-- <p>commented out</p> -->kept", "kept"),
+        ("one&nbsp;space", "one space"),
+        ("&amp;lt; decodes one level", "&lt; decodes one level"),
+        ("no markup at all", "no markup at all"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
+                               "i int, html string")
+    got = {r["i"]: r["t"] for r in
+           df.select("i", W.html_to_text_col(F.col("html")).alias("t")).collect()}
+    for i, (_, expected) in enumerate(cases):
+        assert got[i] == expected, (cases[i], got[i])
+    # cross-engine: the SQL twin extracts identical bytes
+    con = duckdb.connect()
+    rows = ", ".join("({}, '{}')".format(i, h.replace("'", "''"))
+                     for i, (h, _) in enumerate(cases))
+    exp = dict(con.execute(
+        f"SELECT i, {W.html_to_text_sql('html')} FROM (VALUES {rows}) t(i, html)"
+    ).fetchall())
+    assert got == exp
+
+
+def test_html_extract_byte_identity_through_pipeline(spark, sf_dir):
+    """North-rule invariant: the text extracted from html stays
+    BYTE-IDENTICAL per document through the downstream cleaning stages —
+    including boilerplate-strip, which fully REBUILDS the text from its
+    split lines — and the exact-dedup digest is computed over those same
+    bytes."""
+    import __spark_entry__ as E
+    from polycheck_spark.operators.text import strip_boilerplate
+
+    pages = (E._docs(spark, sf_dir).select("doc_id", "text")
+             .withColumn("html", E._synth_html_col()))
+    extracted = pages.select(
+        "doc_id", W.html_to_text_col(F.col("html")).alias("text"),
+        # the template makes the expected extraction reconstructible:
+        # title + h1 + whitespace-normalized body text
+        F.trim(F.concat(
+            F.lit("Doc "), F.col("doc_id").cast("string"),
+            F.lit(" Doc "), F.col("doc_id").cast("string"), F.lit(" "),
+            F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+        .alias("expected")).localCheckpoint()
+    assert extracted.filter(F.col("text") != F.col("expected")).count() == 0
+
+    # clean stage rebuilds text from lines; with no hot lines (cap above
+    # corpus size) the rebuild must be byte-exact for every doc
+    n = extracted.count()
+    cleaned = strip_boilerplate(extracted.select("doc_id", "text"),
+                                max_line_df=n + 1)
+    joined = (extracted.join(cleaned, "doc_id")
+              .select(F.md5("text").alias("h0"), F.md5("clean_text").alias("h1")))
+    assert joined.filter(F.col("h0") != F.col("h1")).count() == 0
+
+    # dedup digests ride the identical bytes: survivor count is stable
+    # whether computed on the extracted or the cleaned text
+    from polycheck_spark.operators.dedup import exact_duplicates
+    d0 = exact_duplicates(extracted.select("doc_id", "text")).count()
+    d1 = exact_duplicates(
+        cleaned.select("doc_id", F.col("clean_text").alias("text"))).count()
+    assert d0 == d1
+
+
 def test_url_dedup_and_host_stats_match_oracle(spark, tmp_path):
     rows = []
     for i in range(200):
