@@ -224,6 +224,23 @@ def q_dedup_verified_clusters(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# eval-set modulus for the decontamination query: every 41st doc's text IS
+# the benchmark, so those docs (and their exact/near duplicates) must flag
+DECONTAM_MOD = 41
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-doc n-gram membership against a
+    broadcast eval shingle set (planted: the eval set is every 41st doc's
+    text, so contamination provably exists at every sf)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    return (D.decontaminate(docs, ev)
+            .select(F.col("id").alias("doc_id"), "n_shingles",
+                    "n_contaminated", "contaminated")
+            .orderBy("doc_id"))
+
+
 def q_tile_density(spark, sf_dir):
     pts = _docs_points(spark, sf_dir)
     return (PJ.assign_tiles(pts, res=DENSITY_RES)
@@ -388,6 +405,59 @@ def _host_stats_oracle() -> str:
     from polycheck_spark.operators import web as W
     return (f"WITH urls AS ({_SYNTH_URL_CTE}) "
             f"SELECT * FROM ({W.host_stats_sql('urls')}) ORDER BY host")
+
+
+# --- html -> text extraction over a synthesized HTML corpus ------------------
+# the input_hint schema carries `html BINARY` with `text` DERIVED from it, but
+# testdata ships pre-extracted text only — so the query wraps each document's
+# text in a deterministic page template (title/style/script/comment noise,
+# entity-escaped body) identically in both engines, runs the extraction on
+# the BINARY payload, and value-checks the recovered text.  The byte-identity
+# invariant (extract -> clean -> dedup preserves text bytes per doc) is
+# pinned in tests/test_web.py.
+
+def _synth_html_col():
+    esc = F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                    F.lit("<"), F.lit("&lt;"))
+    d = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), d,
+        F.lit('</title><style type="text/css">body { color: #222; }</style>'
+              "<script>var nav = 1 < 2 && 3 > 2;</script></head>"
+              "<body><h1>Doc&nbsp;"), d,
+        F.lit("</h1><!-- crawl --><p>"), esc, F.lit("</p></body></html>"))
+    return F.encode(page, "UTF-8")
+
+
+def _synth_html_sql() -> str:
+    esc = "replace(replace(text, '&', '&amp;'), '<', '&lt;')"
+    d = "CAST(doc_id AS VARCHAR)"
+    return ("'<html><head><title>Doc ' || " + d +
+            " || '</title><style type=\"text/css\">body { color: #222; }</style>"
+            "<script>var nav = 1 < 2 && 3 > 2;</script></head>"
+            "<body><h1>Doc&nbsp;' || " + d +
+            " || '</h1><!-- crawl --><p>' || " + esc +
+            " || '</p></body></html>'")
+
+
+def q_html_extract(spark, sf_dir):
+    """html(BINARY) -> text: tag/script/style/comment strip, entity decode,
+    whitespace normalization — all Column regex ops, no Python."""
+    from polycheck_spark.operators import web as W
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", _synth_html_col().alias("html"))
+    return (pages.select("doc_id",
+                         W.html_to_text_col(F.col("html")).alias("text"))
+            .withColumn("n_chars", F.length("text").cast("int"))
+            .orderBy("doc_id"))
+
+
+def _html_extract_oracle() -> str:
+    from polycheck_spark.operators import web as W
+    extracted = W.html_to_text_sql(f"({_synth_html_sql()})")
+    return (f"SELECT doc_id, {extracted} AS text, "
+            f"CAST(length({extracted}) AS INT) AS n_chars "
+            f"FROM documents ORDER BY doc_id")
 
 
 # --- boilerplate-line removal over a synthesized line-structured corpus -----
@@ -1259,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_capped": q_minhash_lsh_capped,
         # -- new this round --
         "dedup_verified_clusters": q_dedup_verified_clusters,
+        "html_extract": q_html_extract,
+        "decontaminate": q_decontaminate,
         "simhash_pairs_wide": q_simhash_pairs_wide,
         "media_dimensions": q_media_dimensions,
         "boilerplate_strip": q_boilerplate_strip,
@@ -1363,6 +1435,11 @@ def oracle_sql() -> dict[str, str]:
             D.lsh_candidate_pairs_sql("documents"),
             id_col="doc_id", out_id="doc_id")
             + " ORDER BY doc_id"),
+        "html_extract": _html_extract_oracle(),
+        "decontaminate": (
+            "SELECT id AS doc_id, n_shingles, n_contaminated, contaminated "
+            f"FROM ({D.decontaminate_sql('documents', '(SELECT doc_id, text FROM documents WHERE doc_id % ' + str(DECONTAM_MOD) + ' = 0)')}) "
+            "ORDER BY doc_id"),
         "dedup_verified_clusters": (D.connected_components_sql(
             f"SELECT doc_id FROM ({_docs_with_fp_cte()})",
             D.verified_pairs_sql(f"({_docs_with_fp_cte()})",

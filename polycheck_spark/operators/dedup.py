@@ -415,6 +415,65 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """
 
 
+# --- benchmark decontamination ----------------------------------------------
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_id_col: str = "doc_id",
+                  eval_text_col: str = "text") -> DataFrame:
+    """Per-document n-gram contamination against a benchmark/eval set:
+    (id, n_shingles, n_contaminated, contaminated) for EVERY corpus doc.
+
+    The standard C4/LLM-pipeline stage: training documents sharing word
+    n-grams with an evaluation benchmark leak test answers into training,
+    so they are flagged (and usually dropped) before training.  A doc is
+    ``contaminated`` when ANY of its shingles appears in the eval set;
+    the raw counts are kept so callers can apply fraction thresholds.
+
+    Scale shape: the eval shingle set is benchmark-sized (10^4-10^6 rows
+    against a 10^12-doc corpus), so it is distinct-ed and BROADCAST —
+    the corpus-side shingle table streams through one broadcast hash
+    join and one groupBy, never a shuffle keyed on shingles.  Docs with
+    fewer than NGRAM tokens have no shingles and report (0, 0, false).
+    """
+    sh = _shingles(docs, id_col, text_col)
+    ev = (_shingles(eval_docs, eval_id_col, eval_text_col)
+          .select("shingle").distinct()
+          .withColumn("__hit", F.lit(True)))
+    marked = sh.join(F.broadcast(ev), "shingle", "left")
+    per_doc = (marked.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.count("__hit").alias("n_contaminated")))
+    base = docs.select(F.col(id_col).alias("id"))
+    return (base.join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                    F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
+def decontaminate_sql(table: str, eval_table: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      eval_id_col: str = "doc_id",
+                      eval_text_col: str = "text") -> str:
+    """DuckDB twin of :func:`decontaminate` — same shingles, same flag."""
+    return f"""
+WITH dsh AS ({_shingles_sql(table, id_col, text_col)}),
+esh AS (SELECT DISTINCT shingle
+        FROM ({_shingles_sql(eval_table, eval_id_col, eval_text_col)})),
+per_doc AS (
+  SELECT d.id, COUNT(*) AS n_shingles,
+         COUNT(e.shingle) AS n_contaminated
+  FROM dsh d LEFT JOIN esh e ON e.shingle = d.shingle
+  GROUP BY d.id)
+SELECT t.{id_col} AS id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_contaminated, 0) AS n_contaminated,
+       coalesce(p.n_contaminated, 0) > 0 AS contaminated
+FROM {table} t LEFT JOIN per_doc p ON p.id = t.{id_col}
+"""
+
+
 # --- candidate verification (the stage between LSH and clustering) ----------
 
 def verify_pairs_jaccard(docs: DataFrame, pairs: DataFrame,

@@ -510,6 +510,43 @@ def test_connected_components_vs_union_find(spark):
     assert got == exp
 
 
+def test_decontaminate_flags_planted_docs(spark):
+    """Planted contamination: docs carrying a benchmark n-gram flag, clean
+    docs don't, sub-NGRAM docs report (0, 0, false) — and the eval join is
+    a broadcast (the corpus side must never shuffle on shingles)."""
+    bench = "what is the capital of france paris is the answer"
+    corpus = [
+        (0, bench),                                          # verbatim leak
+        (1, "padding words " + bench + " more padding"),     # embedded leak
+        (2, "an entirely different document about spark partitioning"),
+        (3, "tiny doc"),                                     # < NGRAM tokens
+        (4, "madrid is lovely in the spring season every year"),  # paris-free
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    ev = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    out = D.decontaminate(docs, ev)
+    got = {r["id"]: (r["n_shingles"], r["n_contaminated"], r["contaminated"])
+           for r in out.collect()}
+    assert got[0][2] and got[0][0] == got[0][1]      # fully contaminated
+    assert got[1][2] and 0 < got[1][1] < got[1][0]   # partially contaminated
+    assert not got[2][2] and got[2][1] == 0
+    assert got[3] == (0, 0, False)
+    assert not got[4][2]
+    # DuckDB twin agrees row-for-row
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", corpus)
+    con.execute("CREATE TABLE e (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO e VALUES (100, ?)", [bench])
+    exp = {r[0]: (r[1], r[2], r[3]) for r in
+           con.execute(D.decontaminate_sql("c", "e")).fetchall()}
+    assert got == exp
+    # plan: the eval set rides a broadcast join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_verified_clusters_reject_planted_lsh_false_positive(spark, sf_dir):
     """The verified fuzzy-dedup pipeline must NOT merge an LSH false
     positive: the planted pair collides on minhash band 0 (a real band
