@@ -254,3 +254,59 @@ def test_ann_topk_job_exact_and_resumable(spark, tmp_path):
              spark.read.parquet(pruned["topk_path"]).collect()}
     exact_pairs = {(a, b) for a, b, _ in got}
     assert len(got_m & exact_pairs) >= 0.9 * len(exact_pairs)
+
+
+def test_corpus_clean_job_end_to_end_and_resumable(spark, tmp_path):
+    """The five-stage cleaning job: every stage provably bites (frontier
+    variants collapse, boilerplate line gone from every text, the language
+    gate holds, exact copies collapse, near copies caught by the verified
+    fuzzy stage), and a job killed in EITHER phase resumes to the
+    byte-identical final corpus."""
+    from pyspark.sql import functions as F
+    from polycheck_spark.jobs.corpus_clean_job import (
+        BOILERPLATE, run_job as clean_run)
+
+    def final_rows(out_dir):
+        return sorted(tuple(r) for r in
+                      spark.read.parquet(f"{out_dir}/final")
+                      .select("url", "text_md5", "lang", "n_exact_dups")
+                      .collect())
+
+    out_dir = str(tmp_path / "cc")
+    res = clean_run(spark, 3000, 4, out_dir)
+    final = spark.read.parquet(f"{out_dir}/final").localCheckpoint()
+
+    # fuzzy stage bites: near copies were injected and caught
+    assert res["n_fuzzy_pairs"] > 0
+    assert res["n_final"] < res["n_exact_survivors"]
+    # frontier dedup: no ?utm= variant survives (base url always smaller)
+    assert final.filter(F.col("url").contains("?utm=")).count() == 0
+    # boilerplate line stripped from every surviving text
+    assert final.filter(F.col("text").contains(BOILERPLATE)).count() == 0
+    # language gate holds
+    langs = {r["lang"] for r in final.select("lang").distinct().collect()}
+    from polycheck_spark.data.synth import LANGS
+    assert LANGS[-1] not in langs and langs
+    # exact dedup: distinct digests, injected copies counted
+    md5s = [r["text_md5"] for r in final.select("text_md5").collect()]
+    assert len(md5s) == len(set(md5s))
+    assert final.filter(F.col("n_exact_dups") >= 2).count() > 0
+
+    # kill in phase 1, resume: identical final corpus
+    out2 = str(tmp_path / "cc2")
+    with pytest.raises(RuntimeError):
+        clean_run(spark, 3000, 4, out2, fail_on=lambda k: k == 2)
+    res2 = clean_run(spark, 3000, 4, out2)
+    assert final_rows(out2) == final_rows(out_dir)
+    assert 2 in res2["phase1"]["run"]["processed"]
+    assert len(res2["phase1"]["run"]["skipped"]) == 2
+
+    # kill in phase 2, resume: identical final corpus
+    out3 = str(tmp_path / "cc3")
+    with pytest.raises(RuntimeError):
+        clean_run(spark, 3000, 4, out3, fail_on_pairs=lambda k: k == 1)
+    res3 = clean_run(spark, 3000, 4, out3)
+    assert final_rows(out3) == final_rows(out_dir)
+    # phase 1 fully committed before the phase-2 kill: all skipped on resume
+    assert len(res3["phase1"]["run"]["skipped"]) == 4
+    assert 1 in res3["phase2"]["run"]["processed"]
