@@ -1304,18 +1304,38 @@ def q_distinct_tiles_per_lang(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (r5): the driver records a per-round PREFIX of this
-    # dict (r1: 30, r2: 40, r3/r4: 50 rows), so the goal is that every
-    # entry has >= 1 driver-recorded green row across rounds.  The head
-    # holds the entries that had never been driver-recorded through r4
-    # (they were added after the cut or parked in the tail) plus this
-    # round's new queries; the middle holds the unique operators; the tail
-    # holds 13 entries recorded green in EVERY round r1-r4 whose semantics
-    # are additionally pytest-pinned (partitioned/distributed join multiset
-    # equality, capped-subset tests, sampling determinism) — the least
-    # information is lost if a prefix cut lands there.
+    # Ordering policy (r6): the driver records a per-round PREFIX of this
+    # dict (r1: 30, r2: 40, r3/r4: 50, r5: 50 rows), so the goal is that
+    # every entry's MOST RECENT driver-recorded green row stays at most two
+    # rounds old.  The head holds this round's new queries plus the 18
+    # entries whose newest record is r1-r4 (the 5 that sat past r5's cut
+    # and the 13 pytest-pinned tail entries); everything r5 recorded
+    # follows in its previous relative order, heaviest twins last.
     return {
-        # -- never driver-recorded through r4 (rotate into the record) --
+        # -- new this round --
+        "dedup_verified_clusters": q_dedup_verified_clusters,
+        "html_extract": q_html_extract,
+        "decontaminate": q_decontaminate,
+        # -- newest record is r1-r4: rotate into the r6 prefix --
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "events_sessionize": q_events_sessionize,
+        "polygon_quality": q_polygon_quality,
+        "tile_events_hourly": q_tile_events_hourly,
+        "events_json": q_events_json,
+        "pip_join_partitioned": q_pip_join_partitioned,
+        "pip_join_distributed": q_pip_join_distributed,
+        "pip_semi": q_pip_semi,
+        "pip_anti": q_pip_anti,
+        "tile_assignment": q_tile_assignment,
+        "tile_density": q_tile_density,
+        "sample_hash": q_sample_hash,
+        "stratified_sample": q_stratified_sample,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "fingerprints": q_fingerprints,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "window_topk": q_window_topk,
+        # -- recorded green in r5 (keep r5's relative order) --
         "events_value_stats": q_events_value_stats,
         "events_cube": q_events_cube,
         "dedup_apply": q_dedup_apply,
@@ -1327,10 +1347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_fast": q_near_dup_fast,
         "near_dup_capped": q_near_dup_capped,
         "minhash_lsh_capped": q_minhash_lsh_capped,
-        # -- new this round --
-        "dedup_verified_clusters": q_dedup_verified_clusters,
-        "html_extract": q_html_extract,
-        "decontaminate": q_decontaminate,
         "simhash_pairs_wide": q_simhash_pairs_wide,
         "media_dimensions": q_media_dimensions,
         "boilerplate_strip": q_boilerplate_strip,
@@ -1338,7 +1354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "host_stats": q_host_stats,
         "c4_pipeline": q_c4_pipeline,
-        # -- unique operators --
         "pip_join": q_pip_join,
         "pip_counts": q_pip_counts,
         "tile_rollup": q_tile_rollup,
@@ -1371,25 +1386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "tile_quantiles": q_tile_quantiles,
         "agg_lineitem": q_agg_lineitem,
-        "broadcast_join_agg": q_broadcast_join_agg,
-        "events_sessionize": q_events_sessionize,
-        "polygon_quality": q_polygon_quality,
-        "tile_events_hourly": q_tile_events_hourly,
-        "events_json": q_events_json,
-        # -- tail: recorded green r1-r4 AND pytest-pinned --
-        "pip_join_partitioned": q_pip_join_partitioned,
-        "pip_join_distributed": q_pip_join_distributed,
-        "pip_semi": q_pip_semi,
-        "pip_anti": q_pip_anti,
-        "tile_assignment": q_tile_assignment,
-        "tile_density": q_tile_density,
-        "sample_hash": q_sample_hash,
-        "stratified_sample": q_stratified_sample,
-        "token_counts": q_token_counts,
-        "quality_scores": q_quality_scores,
-        "fingerprints": q_fingerprints,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "window_topk": q_window_topk,
     }
 
 

@@ -154,7 +154,8 @@ def main():
                  "agg_lineitem", "events_sessionize", "events_cube",
                  "vocab_topk", "doc_top_terms", "simhash_pairs",
                  "simhash_pairs_wide", "media_dimensions", "boilerplate_strip",
-                 "url_dedup", "c4_pipeline"]:
+                 "url_dedup", "c4_pipeline",
+                 "html_extract", "decontaminate", "dedup_verified_clusters"]:
         best = None
         for _ in range(2):
             t0 = time.time()

@@ -103,13 +103,22 @@ def test_vocab_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_decontaminate_eval_side_is_broadcast(spark, sf_dir):
+    """The eval shingle set must broadcast: a shuffle keyed on shingles
+    moves the corpus-dominant relation at 10^12 docs."""
+    plan = _plan(E.q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_text_path_stays_jvm_side(spark, sf_dir):
     """Text ops must stay JVM-side: no Python evaluation node anywhere.
 
     (WholeStageCodegen markers only appear in AQE's FINAL plan after
     execution, so absence-of-Python is the reliable pre-execution check.)"""
     for q in ("q_token_counts", "q_quality_scores", "q_lang_id",
-              "q_fingerprints", "q_simhash"):
+              "q_fingerprints", "q_simhash", "q_html_extract",
+              "q_decontaminate"):
         plan = _plan(getattr(E, q)(spark, sf_dir))
         assert "ArrowEvalPython" not in plan, q
         assert "BatchEvalPython" not in plan, q
