@@ -178,7 +178,7 @@ def q_dedup_clusters(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     edges = D.lsh_candidate_pairs(docs)
     verts = docs.select("doc_id")
-    return (D.connected_components(verts, edges, id_col="doc_id")
+    return (D.cluster_assignments(verts, edges, id_col="doc_id")
             .select(F.col("id").alias("doc_id"), "cluster_id")
             .orderBy("doc_id"))
 
@@ -1274,7 +1274,7 @@ def q_dedup_apply(spark, sf_dir):
     """End-to-end dedup: near-dup clusters collapsed to their canonical
     representative (cluster_id == id) — per-lang survivor counts."""
     docs = _docs(spark, sf_dir)
-    comps = D.connected_components(
+    comps = D.cluster_assignments(
         docs.select("doc_id"), D.lsh_candidate_pairs(docs), id_col="doc_id")
     survivors = comps.filter(F.col("cluster_id") == F.col("id")).select(F.col("id").alias("doc_id"))
     return (docs.join(survivors, "doc_id", "left_semi")

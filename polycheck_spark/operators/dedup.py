@@ -531,7 +531,7 @@ def verified_dup_clusters(docs: DataFrame, threshold: tuple[int, int] = (1, 2), 
     edges = verify_pairs_jaccard(docs, cand, threshold,
                                  id_col=id_col, text_col=text_col)
     verts = docs.select(id_col)
-    return connected_components(verts, edges, id_col=id_col)
+    return cluster_assignments(verts, edges, id_col=id_col)
 
 
 def verified_pairs_sql(table: str, threshold: tuple[int, int] = (1, 2),
@@ -578,8 +578,15 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
     bound, convergence is detected by an any-label-changed probe on the
     checkpointed frames.  No driver-side graph state.
     """
+    # materialize the edge list ONCE: `edges` is usually the tail of a
+    # deep lazy pipeline (shingles -> LSH banding -> Jaccard verify), and
+    # every propagation round joins against it — without this checkpoint
+    # the whole candidate-generation DAG re-executes per round (measured
+    # ~Nx the query time for N rounds); after it, each round scans a
+    # pinned RDD
     und = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
-        .unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))) \
+        .localCheckpoint()
     # each round's plan embeds the previous round's, so WITHOUT lineage
     # truncation the logical plan doubles per iteration (driver OOM by ~10
     # rounds — observed); an eager localCheckpoint pins the round's result
@@ -647,6 +654,37 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
                 f"max_iters (pointer jumping needs O(log n) rounds)",
                 RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def cluster_assignments(vertices: DataFrame, edges: DataFrame, *,
+                        id_col: str = "id", src_col: str = "a",
+                        dst_col: str = "b", max_iters: int = 20) -> DataFrame:
+    """(id, cluster_id) for EVERY vertex — semantically identical to
+    running :func:`connected_components` over the full vertex set, but the
+    iterative propagation touches only the edge ENDPOINTS.
+
+    At web scale this is the difference that matters: near-dup edges cover
+    the duplicate mass (a few percent of the corpus), so the O(log n)
+    rounds of join + groupBy + checkpoint run over endpoint-sized frames
+    while the singleton majority — whose label is trivially their own id —
+    is handled by ONE anti-join against the endpoint set.  Dragging 10^12
+    singleton vertices through every propagation round (the previous
+    shape) made each round corpus-sized for no information.
+    """
+    # pin the (usually deeply lazy) pair pipeline once — both the endpoint
+    # derivation and every CC round read this RDD instead of re-running
+    # candidate generation
+    edges = edges.select(src_col, dst_col).localCheckpoint()
+    endpoints = (edges.select(F.col(src_col).alias(id_col))
+                 .unionAll(edges.select(F.col(dst_col).alias(id_col)))
+                 .distinct())
+    labeled = connected_components(endpoints, edges, id_col=id_col,
+                                   src_col=src_col, dst_col=dst_col,
+                                   max_iters=max_iters)
+    singles = (vertices.select(F.col(id_col).alias("id"))
+               .join(labeled.select("id"), "id", "left_anti")
+               .select("id", F.col("id").alias("cluster_id")))
+    return labeled.unionAll(singles)
 
 
 def connected_components_sql(vertices_cte: str, edges_cte: str,

@@ -581,6 +581,25 @@ def test_verified_clusters_reject_planted_lsh_false_positive(spark, sf_dir):
         assert ver[x] == ver[y]
 
 
+def test_cluster_assignments_equals_full_vertex_cc(spark):
+    """Endpoint-only CC + singleton anti-join must equal full-vertex CC:
+    the scale path may never change the labeling."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]
+    verts = sorted({v for e in edges for v in e} | {5, 99, 100})
+    vdf = spark.createDataFrame([(v,) for v in verts], "id long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    full = sorted((r["id"], r["cluster_id"]) for r in
+                  D.connected_components(vdf, edf).collect())
+    fast = sorted((r["id"], r["cluster_id"]) for r in
+                  D.cluster_assignments(vdf, edf).collect())
+    assert full == fast
+    # edgeless graph: everything a singleton, no propagation rounds at all
+    empty = spark.createDataFrame([], "a long, b long")
+    only_singles = sorted((r["id"], r["cluster_id"]) for r in
+                          D.cluster_assignments(vdf, empty).collect())
+    assert only_singles == [(v, v) for v in verts]
+
+
 def test_connected_components_long_chain_converges_logarithmically(spark):
     """A 64-vertex path has diameter 63: pure hash-to-min would need 63
     rounds, so finishing under max_iters=10 proves the pointer-jumping
