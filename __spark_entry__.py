@@ -241,6 +241,78 @@ def q_decontaminate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# --- PII redaction over a deterministically PII-injected corpus -----------
+# testdata texts carry no PII, so the queries inject spans derived from
+# doc_id (identical construction in both engines): doc_id % 4 == 0 gets an
+# email, == 1 a phone, == 2 an IPv4, == 3 stays clean — every kind provably
+# present at every sf, and the clean rows pin the no-false-positive side.
+PII_MOD = 4
+
+
+def _pii_docs(spark, sf_dir):
+    d = F.col("doc_id")
+    oct_a = F.pmod(d, F.lit(256)).cast("int")
+    oct_b = F.pmod(F.floor(d / 7), F.lit(256)).cast("int")
+    tail = (F.when(F.pmod(d, F.lit(PII_MOD)) == 0,
+                   F.concat(F.lit(" contact user"), d.cast("string"),
+                            F.lit("@example.com now")))
+            .when(F.pmod(d, F.lit(PII_MOD)) == 1,
+                  F.concat(F.lit(" call 555-"),
+                           F.lpad(F.pmod(d, F.lit(1000)).cast("string"), 3, "0"),
+                           F.lit("-"),
+                           F.lpad(F.pmod(d, F.lit(10000)).cast("string"), 4, "0")))
+            .when(F.pmod(d, F.lit(PII_MOD)) == 2,
+                  F.concat(F.lit(" from 10.0."), oct_a.cast("string"),
+                           F.lit("."), oct_b.cast("string")))
+            .otherwise(F.lit("")))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "lang", F.concat(F.col("text"), tail).alias("text")))
+
+
+_PII_CTE = f"""
+SELECT doc_id, lang, text ||
+  CASE doc_id % {PII_MOD}
+    WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+    WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+    ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction end-to-end: per-doc span counts + typed-placeholder
+    clean text (value-checked via md5 — compact, byte-exact)."""
+    from polycheck_spark.operators import pii as P
+    out = P.redact_pii(_pii_docs(spark, sf_dir))
+    return (out.select("doc_id", "n_emails", "n_ips", "n_phones",
+                       F.md5(F.col("clean_text")).alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+def _pii_redact_oracle() -> str:
+    from polycheck_spark.operators import pii as P
+    inner = P.redact_pii_sql(f"({_PII_CTE})")
+    return (f"SELECT doc_id, n_emails, n_ips, n_phones, "
+            f"md5(clean_text) AS clean_md5 FROM ({inner}) ORDER BY doc_id")
+
+
+def q_pii_profile(spark, sf_dir):
+    """Corpus PII exposure profile per language — the policy-decision
+    aggregate (docs carrying each kind, total spans)."""
+    from polycheck_spark.operators import pii as P
+    return (P.pii_profile(_pii_docs(spark, sf_dir), group_col="lang")
+            .orderBy("lang"))
+
+
+def _pii_profile_oracle() -> str:
+    from polycheck_spark.operators import pii as P
+    return (P.pii_profile_sql(f"({_PII_CTE})")
+            .rstrip() + " ORDER BY g.lang")
+
+
 def q_tile_density(spark, sf_dir):
     pts = _docs_points(spark, sf_dir)
     return (PJ.assign_tiles(pts, res=DENSITY_RES)
@@ -1316,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verified_clusters": q_dedup_verified_clusters,
         "html_extract": q_html_extract,
         "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "pii_profile": q_pii_profile,
         # -- newest record is r1-r4: rotate into the r6 prefix --
         "broadcast_join_agg": q_broadcast_join_agg,
         "events_sessionize": q_events_sessionize,
@@ -1432,6 +1506,8 @@ def oracle_sql() -> dict[str, str]:
             id_col="doc_id", out_id="doc_id")
             + " ORDER BY doc_id"),
         "html_extract": _html_extract_oracle(),
+        "pii_redact": _pii_redact_oracle(),
+        "pii_profile": _pii_profile_oracle(),
         "decontaminate": (
             "SELECT id AS doc_id, n_shingles, n_contaminated, contaminated "
             f"FROM ({D.decontaminate_sql('documents', '(SELECT doc_id, text FROM documents WHERE doc_id % ' + str(DECONTAM_MOD) + ' = 0)')}) "

@@ -155,7 +155,8 @@ def main():
                  "vocab_topk", "doc_top_terms", "simhash_pairs",
                  "simhash_pairs_wide", "media_dimensions", "boilerplate_strip",
                  "url_dedup", "c4_pipeline",
-                 "html_extract", "decontaminate", "dedup_verified_clusters"]:
+                 "html_extract", "decontaminate", "dedup_verified_clusters",
+                 "pii_redact"]:
         best = None
         for _ in range(2):
             t0 = time.time()

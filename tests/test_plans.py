@@ -118,7 +118,7 @@ def test_text_path_stays_jvm_side(spark, sf_dir):
     execution, so absence-of-Python is the reliable pre-execution check.)"""
     for q in ("q_token_counts", "q_quality_scores", "q_lang_id",
               "q_fingerprints", "q_simhash", "q_html_extract",
-              "q_decontaminate"):
+              "q_decontaminate", "q_pii_redact"):
         plan = _plan(getattr(E, q)(spark, sf_dir))
         assert "ArrowEvalPython" not in plan, q
         assert "BatchEvalPython" not in plan, q
