@@ -594,6 +594,36 @@ def q_hot_lines(spark, sf_dir):
             .orderBy("line"))
 
 
+# every 5th lined doc gets its first line appended again — a planted
+# WITHIN-doc duplicate line, so the repetition signals provably fire
+REPEAT_MOD = 5
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style per-doc repetition profile over the lined corpus with
+    planted within-doc duplicate lines (doc_id % 5) on top of the organic
+    token repetition the base texts already carry."""
+    lined = _lined_docs(spark, sf_dir)
+    first = F.element_at(F.split(F.col("text"), "\n"), 1)
+    planted = (F.when(F.pmod(F.col("doc_id"), F.lit(REPEAT_MOD)) == 0,
+                      F.concat(F.col("text"), F.lit("\n"), first))
+               .otherwise(F.col("text")))
+    return (TX.repetition_signals(lined.select("doc_id", planted.alias("text")))
+            .orderBy("doc_id"))
+
+
+def _repetition_signals_oracle() -> str:
+    planted_cte = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {REPEAT_MOD} = 0
+            THEN text || chr(10) || string_split(text, chr(10))[1]
+            ELSE text END AS text
+FROM ({_LINED_CTE})
+"""
+    return (TX.repetition_signals_sql(f"({planted_cte})").rstrip()
+            + " ORDER BY doc_id")
+
+
 C4_MIN_TOKENS = 20
 C4_LEN_BUCKET = 32
 
@@ -1390,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "pii_profile": q_pii_profile,
+        "repetition_signals": q_repetition_signals,
         # -- newest record is r1-r4: rotate into the r6 prefix --
         "broadcast_join_agg": q_broadcast_join_agg,
         "events_sessionize": q_events_sessionize,
@@ -1508,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _html_extract_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "pii_profile": _pii_profile_oracle(),
+        "repetition_signals": _repetition_signals_oracle(),
         "decontaminate": (
             "SELECT id AS doc_id, n_shingles, n_contaminated, contaminated "
             f"FROM ({D.decontaminate_sql('documents', '(SELECT doc_id, text FROM documents WHERE doc_id % ' + str(DECONTAM_MOD) + ' = 0)')}) "

@@ -431,6 +431,121 @@ FROM bp_parts p LEFT JOIN bp_agg a USING (id)
 """
 
 
+# --- Gopher-style repetition signals ---------------------------------------
+
+def repetition_signals(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document repetition profile (the Gopher quality-filter family):
+
+    - ``n_lines`` / ``n_dup_lines``: newline-split line count and how many
+      line INSTANCES belong to a line occurring more than once in the doc
+      (Gopher's "duplicate line fraction" numerator);
+    - ``dup_line_chars`` / ``n_chars``: character mass inside those
+      duplicate instances vs the whole doc ("fraction of characters in
+      duplicate lines");
+    - ``n_bigrams`` / ``top_bigram_count``: word-bigram total and the
+      frequency of the most repeated bigram ("top-2-gram fraction");
+    - ``repetitive``: the standard gate — over 30% duplicate lines OR over
+      20% of chars in duplicate lines (integer cross-multiplication, so the
+      flag is exact in both engines).
+
+    All counts are integers, so the oracle comparison is exact — no float
+    ratios cross the engine boundary; callers form fractions themselves.
+
+    Scale design: pure per-row Column lambda work (``filter`` /
+    ``transform`` / ``aggregate`` higher-order functions) — no Python, no
+    shuffle, linear in corpus size.  The within-doc frequency probes are
+    O(lines^2) / O(bigrams^2) per DOCUMENT, bounded by page length — the
+    per-row constant a 10^12-doc map stage absorbs; nothing global is
+    built (contrast :func:`line_frequencies`, the corpus-wide twin).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    freq_gt1 = lambda arr, x: F.size(F.filter(arr, lambda y: y == x)) > 1
+    n_dup = F.aggregate(
+        lines, F.lit(0),
+        lambda acc, x: acc + F.when(freq_gt1(lines, x), 1).otherwise(0))
+    dup_chars = F.aggregate(
+        lines, F.lit(0),
+        lambda acc, x: acc + F.when(freq_gt1(lines, x),
+                                    F.length(x)).otherwise(0))
+    toks = tokens_col(t)
+    n_tok = F.size(toks)
+    bigrams = F.when(n_tok >= 2, F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    # top frequency via sorted-adjacency run length — O(n log n) per doc,
+    # NOT the O(n^2) per-element frequency probe (measured 20x slower on
+    # page-sized docs); bigrams are never '', so '' is a safe initial prev
+
+    def _run(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top_bg = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        _run, lambda acc: acc["best"])
+    n_lines, n_bg = F.size(lines), F.size(bigrams)
+    repetitive = ((n_dup * 10 > n_lines * 3) |
+                  (dup_chars * 5 > F.length(t) * 1))
+    return docs.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        n_dup.cast("int").alias("n_dup_lines"),
+        dup_chars.cast("int").alias("dup_line_chars"),
+        F.length(t).cast("int").alias("n_chars"),
+        n_bg.cast("int").alias("n_bigrams"),
+        top_bg.cast("int").alias("top_bigram_count"),
+        repetitive.alias("repetitive"))
+
+
+def repetition_signals_sql(table: str, id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB twin of :func:`repetition_signals` — same split, same
+    tokenizer, same integer gates (list lambdas mirror the Column HOFs)."""
+    t = text_col
+    lines = f"string_split({t}, chr(10))"
+    n_dup = (f"coalesce(list_sum(list_transform({lines}, x -> CASE WHEN "
+             f"len(list_filter({lines}, y -> y = x)) > 1 THEN 1 ELSE 0 END)), 0)")
+    dup_chars = (f"coalesce(list_sum(list_transform({lines}, x -> CASE WHEN "
+                 f"len(list_filter({lines}, y -> y = x)) > 1 "
+                 f"THEN length(x) ELSE 0 END)), 0)")
+    toks = _tokens_sql(t)
+    bigrams = (f"CASE WHEN len(tl) >= 2 THEN list_transform("
+               f"range(1, len(tl)), i -> tl[i] || ' ' || tl[i + 1]) "
+               f"ELSE [] END")
+    # top bigram frequency relationally (unnest -> group -> max): linear
+    # work instead of the quadratic per-element list_filter probe
+    return f"""
+WITH rep_base AS (
+  SELECT {id_col}, len({lines}) AS n_lines, {n_dup} AS n_dup,
+         {dup_chars} AS dup_chars, length({t}) AS n_chars,
+         {bigrams} AS bg
+  FROM (SELECT {id_col}, {t}, {toks} AS tl FROM {table})),
+rep_top AS (
+  SELECT {id_col}, MAX(c) AS top_bg FROM (
+    SELECT {id_col}, b, COUNT(*) AS c
+    FROM (SELECT {id_col}, unnest(bg) AS b FROM rep_base)
+    GROUP BY {id_col}, b)
+  GROUP BY {id_col})
+SELECT b.{id_col},
+       CAST(b.n_lines AS INT) AS n_lines,
+       CAST(b.n_dup AS INT) AS n_dup_lines,
+       CAST(b.dup_chars AS INT) AS dup_line_chars,
+       CAST(b.n_chars AS INT) AS n_chars,
+       CAST(len(b.bg) AS INT) AS n_bigrams,
+       CAST(coalesce(t.top_bg, 0) AS INT) AS top_bigram_count,
+       (b.n_dup * 10 > b.n_lines * 3 OR b.dup_chars * 5 > b.n_chars * 1)
+         AS repetitive
+FROM rep_base b LEFT JOIN rep_top t USING ({id_col})
+"""
+
+
 # --- document fingerprint ------------------------------------------------------
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
