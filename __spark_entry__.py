@@ -594,6 +594,90 @@ def q_hot_lines(spark, sf_dir):
             .orderBy("line"))
 
 
+# --- host link graph + PageRank over a synthesized 97-host web -------------
+# each page lives on host site{doc_id % 97} and links to two (sometimes
+# three) other hosts via affine maps of doc_id — a deterministic directed
+# multigraph with real in-degree skew (the affine images are not uniform),
+# identical construction in both engines.  A relative href and a mailto are
+# planted so the absolute-http(s) extraction filter is exercised.
+GRAPH_HOSTS = 97
+PAGERANK_ITERS = 3
+
+
+def _linked_pages(spark, sf_dir):
+    d = F.col("doc_id")
+
+    def site(expr):
+        return F.concat(F.lit("site"), expr.cast("string"),
+                        F.lit(".example.com"))
+
+    url = F.concat(F.lit("http://"), site(F.pmod(d, F.lit(GRAPH_HOSTS))),
+                   F.lit("/p/"), d.cast("string"))
+    l1 = F.concat(F.lit('<a href="http://'),
+                  site(F.pmod(d * 31 + 7, F.lit(GRAPH_HOSTS))),
+                  F.lit('/x">a</a>'))
+    l2 = F.concat(F.lit('<a href="https://www.'),
+                  site(F.pmod(d * 17 + 3, F.lit(GRAPH_HOSTS))),
+                  F.lit('/y?z=1">b</a>'))
+    l3 = F.when(F.pmod(d, F.lit(7)) == 0,
+                F.concat(F.lit('<a href="http://'),
+                         site(F.pmod(d * 5 + 11, F.lit(GRAPH_HOSTS))),
+                         F.lit('/z">c</a>'))).otherwise(F.lit(""))
+    html = F.concat(F.lit('<html><body><a href="/rel">r</a>'
+                          '<a href="mailto:x@y.z">m</a>'), l1, l2, l3,
+                    F.lit("</body></html>"))
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"),
+                                       html.alias("html"))
+
+
+_LINKED_CTE = f"""
+SELECT doc_id,
+       'http://site' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+       '<html><body><a href="/rel">r</a><a href="mailto:x@y.z">m</a>'
+       || '<a href="http://site' || CAST((doc_id * 31 + 7) % {GRAPH_HOSTS} AS VARCHAR)
+         || '.example.com/x">a</a>'
+       || '<a href="https://www.site' || CAST((doc_id * 17 + 3) % {GRAPH_HOSTS} AS VARCHAR)
+         || '.example.com/y?z=1">b</a>'
+       || (CASE WHEN doc_id % 7 = 0
+              THEN '<a href="http://site' || CAST((doc_id * 5 + 11) % {GRAPH_HOSTS} AS VARCHAR)
+                   || '.example.com/z">c</a>'
+              ELSE '' END)
+       || '</body></html>' AS html
+FROM documents
+"""
+
+
+def q_host_links(spark, sf_dir):
+    """The weighted host link graph: href extraction -> host canonicalization
+    -> self-loop drop -> pair counts, over the synthesized 97-host web."""
+    from polycheck_spark.operators import graph as G
+    return (G.host_link_graph(_linked_pages(spark, sf_dir))
+            .orderBy("src_host", "dst_host"))
+
+
+def _host_links_oracle() -> str:
+    from polycheck_spark.operators import graph as G
+    return (G.host_link_graph_sql(_LINKED_CTE).rstrip()
+            + " ORDER BY src_host, dst_host")
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    """Fixed-point integer PageRank over the host link graph — 3 unrolled
+    power-iteration rounds, bit-equal across engines (no floats)."""
+    from polycheck_spark.operators import graph as G
+    edges = G.host_link_graph(_linked_pages(spark, sf_dir))
+    return (G.pagerank(edges, iters=PAGERANK_ITERS)
+            .orderBy(F.col("pr").desc(), F.col("host")))
+
+
+def _pagerank_hosts_oracle() -> str:
+    from polycheck_spark.operators import graph as G
+    edges = G.host_link_graph_sql(_LINKED_CTE)
+    return (G.pagerank_sql(edges, iters=PAGERANK_ITERS)
+            + " ORDER BY pr DESC, host")
+
+
 # every 5th lined doc gets its first line appended again — a planted
 # WITHIN-doc duplicate line, so the repetition signals provably fire
 REPEAT_MOD = 5
@@ -1421,6 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pii_profile": q_pii_profile,
         "repetition_signals": q_repetition_signals,
+        "host_links": q_host_links,
+        "pagerank_hosts": q_pagerank_hosts,
         # -- newest record is r1-r4: rotate into the r6 prefix --
         "broadcast_join_agg": q_broadcast_join_agg,
         "events_sessionize": q_events_sessionize,
@@ -1540,6 +1626,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_oracle(),
         "pii_profile": _pii_profile_oracle(),
         "repetition_signals": _repetition_signals_oracle(),
+        "host_links": _host_links_oracle(),
+        "pagerank_hosts": _pagerank_hosts_oracle(),
         "decontaminate": (
             "SELECT id AS doc_id, n_shingles, n_contaminated, contaminated "
             f"FROM ({D.decontaminate_sql('documents', '(SELECT doc_id, text FROM documents WHERE doc_id % ' + str(DECONTAM_MOD) + ' = 0)')}) "
