@@ -310,3 +310,51 @@ def test_corpus_clean_job_end_to_end_and_resumable(spark, tmp_path):
     # phase 1 fully committed before the phase-2 kill: all skipped on resume
     assert len(res3["phase1"]["run"]["skipped"]) == 4
     assert 1 in res3["phase2"]["run"]["processed"]
+
+
+def test_pagerank_job_iteration_resume_and_refinement(spark, tmp_path):
+    """Iteration-granular resume: (1) the job's final table is bit-equal to
+    the in-process pagerank() at the same round budget; (2) a kill before
+    round 3 commits resumes with rounds 0-2 skipped and reproduces the
+    identical table; (3) re-submitting with a LARGER --iters refines from
+    the committed rounds (documented property: the budget is not part of
+    the lineage-invalidating parameter set) and still matches in-process;
+    (4) changing a web-shape parameter tombstones staging + lineage."""
+    from pyspark.sql import functions as F
+    from polycheck_spark.operators import graph as G
+    from polycheck_spark.jobs.pagerank_job import (run_job as pr_run,
+                                                   synth_linked_pages)
+
+    pages, hosts, iters = 3000, 53, 4
+
+    clean = str(tmp_path / "pr_clean")
+    ref = pr_run(spark, clean, pages, hosts, iters)
+    got = sorted((r["host"], r["pr"]) for r in spark.read.parquet(
+        f"{clean}/bucket={iters - 1}").collect())
+
+    edges = G.host_link_graph(synth_linked_pages(spark, pages, hosts))
+    exp = sorted((r["host"], r["pr"]) for r in
+                 G.pagerank(edges, iters=iters).collect())
+    assert got == exp and len(got) == hosts
+
+    # kill before round 3 (bucket 2) commits, resume, bit-equal output
+    resumed = str(tmp_path / "pr_resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pr_run(spark, resumed, pages, hosts, iters, fail_at=2)
+    assert CheckpointedWriter(resumed).completed_buckets() == {0, 1}
+    out = pr_run(spark, resumed, pages, hosts, iters)
+    assert sorted((r["host"], r["pr"]) for r in spark.read.parquet(
+        f"{resumed}/bucket={iters - 1}").collect()) == got
+    assert out["total_mass"] == ref["total_mass"]
+
+    # refinement: 2 more rounds on the SAME lineage, nothing recomputed
+    more = pr_run(spark, clean, pages, hosts, iters + 2)
+    assert sorted((r["host"], r["pr"]) for r in spark.read.parquet(
+        f"{clean}/bucket={iters + 1}").collect()) == sorted(
+        (r["host"], r["pr"]) for r in
+        G.pagerank(edges, iters=iters + 2).collect())
+    assert more["n_hosts"] == hosts
+
+    # web-shape change invalidates: different host count -> fresh lineage
+    out2 = pr_run(spark, clean, pages, hosts + 2, 2)
+    assert out2["n_hosts"] == hosts + 2
