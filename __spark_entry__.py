@@ -678,6 +678,28 @@ def _pagerank_hosts_oracle() -> str:
             + " ORDER BY pr DESC, host")
 
 
+PACK_BUDGET = 2048
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing per language: token offsets, bin
+    ids, and boundary-straddle flags from one window prefix sum."""
+    from polycheck_spark.operators import packing as PK
+    docs = _docs(spark, sf_dir)
+    counted = docs.select("doc_id", "lang").join(
+        TX.token_counts(docs).select("doc_id", "n_tokens"), "doc_id")
+    return (PK.pack_chunks(counted, PACK_BUDGET)
+            .orderBy("lang", "doc_id"))
+
+
+def _pack_chunks_oracle() -> str:
+    from polycheck_spark.operators import packing as PK
+    counted = (f"SELECT d.doc_id, d.lang, t.n_tokens FROM documents d JOIN "
+               f"({TX.token_counts_sql('documents')}) t USING (doc_id)")
+    return (PK.pack_chunks_sql(f"({counted})", PACK_BUDGET).rstrip()
+            + " ORDER BY lang, doc_id")
+
+
 # every 5th lined doc gets its first line appended again — a planted
 # WITHIN-doc duplicate line, so the repetition signals provably fire
 REPEAT_MOD = 5
@@ -1493,7 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy (r6): the driver records a per-round PREFIX of this
     # dict (r1: 30, r2: 40, r3/r4: 50, r5: 50 rows), so the goal is that
     # every entry's MOST RECENT driver-recorded green row stays at most two
-    # rounds old.  The head holds this round's new queries plus the 18
+    # rounds old.  The head holds this round's 8 new queries plus the 18
     # entries whose newest record is r1-r4 (the 5 that sat past r5's cut
     # and the 13 pytest-pinned tail entries); everything r5 recorded
     # follows in its previous relative order, heaviest twins last.
@@ -1507,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "host_links": q_host_links,
         "pagerank_hosts": q_pagerank_hosts,
+        "pack_chunks": q_pack_chunks,
         # -- newest record is r1-r4: rotate into the r6 prefix --
         "broadcast_join_agg": q_broadcast_join_agg,
         "events_sessionize": q_events_sessionize,
@@ -1628,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _repetition_signals_oracle(),
         "host_links": _host_links_oracle(),
         "pagerank_hosts": _pagerank_hosts_oracle(),
+        "pack_chunks": _pack_chunks_oracle(),
         "decontaminate": (
             "SELECT id AS doc_id, n_shingles, n_contaminated, contaminated "
             f"FROM ({D.decontaminate_sql('documents', '(SELECT doc_id, text FROM documents WHERE doc_id % ' + str(DECONTAM_MOD) + ' = 0)')}) "

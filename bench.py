@@ -156,7 +156,8 @@ def main():
                  "simhash_pairs_wide", "media_dimensions", "boilerplate_strip",
                  "url_dedup", "c4_pipeline",
                  "html_extract", "decontaminate", "dedup_verified_clusters",
-                 "pii_redact", "repetition_signals", "pagerank_hosts"]:
+                 "pii_redact", "repetition_signals", "pagerank_hosts",
+                 "pack_chunks"]:
         best = None
         for _ in range(2):
             t0 = time.time()
