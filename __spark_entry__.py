@@ -678,6 +678,55 @@ def _pagerank_hosts_oracle() -> str:
             + " ORDER BY pr DESC, host")
 
 
+# blocklist-filter corpus: six host shapes incl. subdomains of the blocked
+# domain at several depths and the classic suffix TRAP host
+# blocked.com.evil.org (shares the string suffix but not the domain
+# boundary — must be kept)
+BLOCKED_DOMAIN = "blocked.com"
+
+
+def _blocky_pages(spark, sf_dir):
+    d = F.col("doc_id")
+    host = (F.when(F.pmod(d, F.lit(6)) == 0, F.lit("blocked.com"))
+            .when(F.pmod(d, F.lit(6)) == 1, F.lit("sub.blocked.com"))
+            .when(F.pmod(d, F.lit(6)) == 2, F.lit("a.b.blocked.com"))
+            .when(F.pmod(d, F.lit(6)) == 3, F.lit("notblocked.com"))
+            .when(F.pmod(d, F.lit(6)) == 4, F.lit("blocked.com.evil.org"))
+            .otherwise(F.lit("site.org")))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("http://"), host, F.lit("/p")).alias("url"))
+
+
+_BLOCKY_CTE = """
+SELECT doc_id, 'http://' ||
+  (CASE doc_id % 6 WHEN 0 THEN 'blocked.com' WHEN 1 THEN 'sub.blocked.com'
+   WHEN 2 THEN 'a.b.blocked.com' WHEN 3 THEN 'notblocked.com'
+   WHEN 4 THEN 'blocked.com.evil.org' ELSE 'site.org' END) || '/p' AS url
+FROM documents
+"""
+
+
+def q_domain_filter(spark, sf_dir):
+    """Domain blocklist gate: suffix-matched (any subdomain depth) with the
+    string-suffix trap host kept — per-host survivor counts."""
+    from polycheck_spark.operators import web as W
+    bl = spark.createDataFrame([(BLOCKED_DOMAIN,)], "domain string")
+    kept = W.domain_block_filter(_blocky_pages(spark, sf_dir), bl)
+    host = F.substring_index(W.canonical_url_col(F.col("url")), "/", 1)
+    return (kept.groupBy(host.alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("host"))
+
+
+def _domain_filter_oracle() -> str:
+    from polycheck_spark.operators import web as W
+    host = f"split_part({W.canonical_url_sql('url')}, '/', 1)"
+    sfx = W.host_suffixes_sql(host)
+    return (f"SELECT {host} AS host, COUNT(*) AS n_docs FROM ({_BLOCKY_CTE}) "
+            f"WHERE NOT list_has_any({sfx}, ['{BLOCKED_DOMAIN}']) "
+            f"GROUP BY 1 ORDER BY 1")
+
+
 PACK_BUDGET = 2048
 
 
@@ -1530,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_links": q_host_links,
         "pagerank_hosts": q_pagerank_hosts,
         "pack_chunks": q_pack_chunks,
+        "domain_filter": q_domain_filter,
         # -- newest record is r1-r4: rotate into the r6 prefix --
         "broadcast_join_agg": q_broadcast_join_agg,
         "events_sessionize": q_events_sessionize,
@@ -1652,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         "host_links": _host_links_oracle(),
         "pagerank_hosts": _pagerank_hosts_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
+        "domain_filter": _domain_filter_oracle(),
         "decontaminate": (
             "SELECT id AS doc_id, n_shingles, n_contaminated, contaminated "
             f"FROM ({D.decontaminate_sql('documents', '(SELECT doc_id, text FROM documents WHERE doc_id % ' + str(DECONTAM_MOD) + ' = 0)')}) "

@@ -153,3 +153,64 @@ SELECT split_part(c, '/', 1) AS host,
 FROM (SELECT {c} AS c FROM {table})
 GROUP BY 1
 """
+
+
+# --- domain blocklist filtering ---------------------------------------------
+# The C4-class URL filter: drop every page whose host IS a blocked domain or
+# sits under one (any subdomain depth).  Suffix semantics make an exact-host
+# join insufficient; instead each host explodes into its dot-suffixes
+# ("a.b.example.com" -> [a.b.example.com, b.example.com, example.com]) and
+# one broadcast semi-join against the blocklist decides membership.  Fan-out
+# is the label depth (<= ~10 on real hosts), the blocklist broadcasts (it is
+# human-curated, thousands of rows at most), and the corpus is scanned once
+# — no shuffle keyed on pages at any point.
+
+def host_suffixes_col(host):
+    """array<string> of dot-suffixes of a host, longest first."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda i: F.array_join(F.slice(parts, i, n), "."))
+
+
+def host_suffixes_sql(host_expr: str) -> str:
+    return (f"list_transform(range(1, len(string_split({host_expr}, '.')) + 1), "
+            f"i -> array_to_string(string_split({host_expr}, '.')"
+            f"[i:len(string_split({host_expr}, '.'))], '.'))")
+
+
+def domain_block_filter(pages: DataFrame, blocklist: DataFrame, *,
+                        id_col: str = "doc_id", url_col: str = "url",
+                        keep: bool = True,
+                        strategy: str = "literal") -> DataFrame:
+    """Pages whose canonical host is NOT under any blocked domain
+    (``keep=False`` returns the blocked complement).  ``blocklist`` is one
+    column ``domain`` of already-canonical (lowercase, no www.) domains.
+
+    ``strategy='literal'`` (default): the blocklist is collected to a
+    literal array and the gate is one map-side ``arrays_overlap`` filter —
+    ZERO shuffles, zero joins; the corpus is scanned once.  The collect is
+    bounded by contract: production blocklists are human-curated (10^3-10^5
+    domains), the same boundedness class as broadcast query/centroid
+    matrices elsewhere in this engine.
+
+    ``strategy='join'``: for blocklists too large to inline — suffix
+    explode -> broadcast semi-join -> distinct blocked ids -> one id-keyed
+    anti(/semi)-join back onto the pages; the blocked-id relation is
+    bounded by the blocked page mass and the join keys on ``id_col``
+    alone, never on wide page payloads."""
+    host = F.substring_index(canonical_url_col(F.col(url_col)), "/", 1)
+    if strategy == "literal":
+        doms = sorted({r["domain"] for r in
+                       blocklist.select("domain").collect()})
+        arr = F.array([F.lit(d) for d in doms]) if doms \
+            else F.array().cast("array<string>")
+        hit = F.arrays_overlap(host_suffixes_col(host), arr)
+        return pages.filter(~hit if keep else hit)
+    cand = (pages.select(id_col, F.explode(host_suffixes_col(host))
+                         .alias("__d")))
+    blocked_ids = (cand.join(
+        F.broadcast(blocklist.select(F.col("domain").alias("__d")).distinct()),
+        "__d", "left_semi").select(id_col).distinct())
+    how = "left_anti" if keep else "left_semi"
+    return pages.join(blocked_ids, id_col, how)

@@ -134,3 +134,52 @@ def test_url_dedup_and_host_stats_match_oracle(spark, tmp_path):
     assert hosts == {"sitea.com", "siteb.org"}
     for _, n_fetches, n_canonical in goth:
         assert n_canonical <= n_fetches
+
+
+def test_domain_block_filter_suffix_semantics(spark):
+    rows = [(1, "http://blocked.com/a"),          # exact -> dropped
+            (2, "http://www.BLOCKED.com/b"),      # www/case -> dropped
+            (3, "http://deep.sub.blocked.com/c"), # any depth -> dropped
+            (4, "http://notblocked.com/d"),       # different domain -> kept
+            (5, "http://blocked.com.evil.org/e"), # string-suffix trap -> kept
+            (6, "https://fine.org/f")]            # unrelated -> kept
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("blocked.com",)], "domain string")
+    kept = sorted(r["doc_id"] for r in
+                  W.domain_block_filter(pages, bl).collect())
+    assert kept == [4, 5, 6]
+    dropped = sorted(r["doc_id"] for r in
+                     W.domain_block_filter(pages, bl, keep=False).collect())
+    assert dropped == [1, 2, 3]
+
+
+def test_domain_block_filter_strategies_agree(spark):
+    rows = [(i, u) for i, u in enumerate(
+        ["http://blocked.com/a", "http://x.sub.blocked.com/b",
+         "http://ok.com/c", "http://blocked.com.evil.org/d"])]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("blocked.com",)], "domain string")
+    lit = sorted(r["doc_id"] for r in
+                 W.domain_block_filter(pages, bl, strategy="literal").collect())
+    join = sorted(r["doc_id"] for r in
+                  W.domain_block_filter(pages, bl, strategy="join").collect())
+    assert lit == join == [2, 3]
+
+
+def test_domain_block_filter_literal_is_map_side_join_broadcasts(spark):
+    pages = spark.createDataFrame([(1, "http://x.com/a")],
+                                  "doc_id long, url string")
+    bl = spark.createDataFrame([("blocked.com",)], "domain string")
+    lit_plan = (W.domain_block_filter(pages, bl)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in lit_plan, lit_plan      # zero shuffles
+    assert "Join" not in lit_plan, lit_plan          # zero joins
+    join_plan = (W.domain_block_filter(pages, bl, strategy="join")
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in join_plan, join_plan
+
+
+def test_host_suffixes_longest_first(spark):
+    df = spark.createDataFrame([("a.b.example.com",)], "h string")
+    got = df.select(W.host_suffixes_col(F.col("h")).alias("s")).collect()[0]["s"]
+    assert got == ["a.b.example.com", "b.example.com", "example.com", "com"]
