@@ -249,11 +249,11 @@ def q_decontaminate(spark, sf_dir):
 PII_MOD = 4
 
 
-def _pii_docs(spark, sf_dir):
+def _pii_tail():
     d = F.col("doc_id")
     oct_a = F.pmod(d, F.lit(256)).cast("int")
     oct_b = F.pmod(F.floor(d / 7), F.lit(256)).cast("int")
-    tail = (F.when(F.pmod(d, F.lit(PII_MOD)) == 0,
+    return (F.when(F.pmod(d, F.lit(PII_MOD)) == 0,
                    F.concat(F.lit(" contact user"), d.cast("string"),
                             F.lit("@example.com now")))
             .when(F.pmod(d, F.lit(PII_MOD)) == 1,
@@ -265,19 +265,25 @@ def _pii_docs(spark, sf_dir):
                   F.concat(F.lit(" from 10.0."), oct_a.cast("string"),
                            F.lit("."), oct_b.cast("string")))
             .otherwise(F.lit("")))
+
+
+def _pii_docs(spark, sf_dir):
     return (_docs(spark, sf_dir)
-            .select("doc_id", "lang", F.concat(F.col("text"), tail).alias("text")))
+            .select("doc_id", "lang",
+                    F.concat(F.col("text"), _pii_tail()).alias("text")))
 
 
-_PII_CTE = f"""
-SELECT doc_id, lang, text ||
+_PII_TAIL_SQL = f"""
   CASE doc_id % {PII_MOD}
     WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
     WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
     WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                 || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
-    ELSE '' END AS text
+    ELSE '' END"""
+
+_PII_CTE = f"""
+SELECT doc_id, lang, text || {_PII_TAIL_SQL} AS text
 FROM documents
 """
 
@@ -725,6 +731,97 @@ def _domain_filter_oracle() -> str:
     return (f"SELECT {host} AS host, COUNT(*) AS n_docs FROM ({_BLOCKY_CTE}) "
             f"WHERE NOT list_has_any({sfx}, ['{BLOCKED_DOMAIN}']) "
             f"GROUP BY 1 ORDER BY 1")
+
+
+# fixed text shared by every 11th page: the exact-dedup stage of the web
+# pipeline provably collapses them to one survivor
+WEB_DUP_TEXT = "lorem ipsum duplicate page content"
+
+
+def _web_pages(spark, sf_dir):
+    """The web-pipeline corpus: blocky hosts (domain-gate cases) x
+    PII-injected or fixed-duplicate text — every stage of q_web_pipeline
+    provably has work at every sf."""
+    d = F.col("doc_id")
+    host = (F.when(F.pmod(d, F.lit(6)) == 0, F.lit("blocked.com"))
+            .when(F.pmod(d, F.lit(6)) == 1, F.lit("sub.blocked.com"))
+            .when(F.pmod(d, F.lit(6)) == 2, F.lit("a.b.blocked.com"))
+            .when(F.pmod(d, F.lit(6)) == 3, F.lit("notblocked.com"))
+            .when(F.pmod(d, F.lit(6)) == 4, F.lit("blocked.com.evil.org"))
+            .otherwise(F.lit("site.org")))
+    text = (F.when(F.pmod(d, F.lit(11)) == 0, F.lit(WEB_DUP_TEXT))
+            .otherwise(F.concat(F.col("text"), _pii_tail())))
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.concat(F.lit("http://"), host, F.lit("/p")).alias("url"),
+        text.alias("text"))
+
+
+_WEB_PAGES_CTE = f"""
+SELECT doc_id, lang,
+  'http://' ||
+  (CASE doc_id % 6 WHEN 0 THEN 'blocked.com' WHEN 1 THEN 'sub.blocked.com'
+   WHEN 2 THEN 'a.b.blocked.com' WHEN 3 THEN 'notblocked.com'
+   WHEN 4 THEN 'blocked.com.evil.org' ELSE 'site.org' END) || '/p' AS url,
+  CASE WHEN doc_id % 11 = 0 THEN '{WEB_DUP_TEXT}'
+       ELSE text || {_PII_TAIL_SQL} END AS text
+FROM documents
+"""
+
+
+def q_web_pipeline(spark, sf_dir):
+    """End-to-end WEB cleaning pipeline, composed from this round's stages
+    in one lazy plan: domain blocklist gate (map-side suffix match) ->
+    PII redaction -> Gopher repetition gate on the REDACTED text -> exact
+    dedup of redacted texts (min-id survivor) -> per-language profile
+    (docs, PII span mass, char mass).  Every stage is the operator the
+    driver checks individually; this row value-checks their composition."""
+    from pyspark.sql import Window
+    from polycheck_spark.operators import pii as P, web as W
+    bl = spark.createDataFrame([(BLOCKED_DOMAIN,)], "domain string")
+    gated = W.domain_block_filter(_web_pages(spark, sf_dir), bl)
+    # the redacted frame feeds TWO branches (repetition signals + the
+    # profile join) — pin it once, same rationale as q_c4_pipeline
+    red = P.redact_pii(gated).localCheckpoint(eager=False)
+    rep = TX.repetition_signals(
+        red.select("doc_id", F.col("clean_text").alias("text")))
+    j = (red.join(gated.select("doc_id", "lang"), "doc_id")
+         .join(rep.select("doc_id", "repetitive", "n_chars"), "doc_id")
+         .filter(~F.col("repetitive")))
+    w = Window.partitionBy(F.md5(F.col("clean_text"))).orderBy("doc_id")
+    surv = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (surv.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_emails") + F.col("n_ips") + F.col("n_phones"))
+                 .cast("long").alias("pii_spans"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .orderBy("lang"))
+
+
+def _web_pipeline_oracle() -> str:
+    from polycheck_spark.operators import pii as P, web as W
+    host = f"split_part({W.canonical_url_sql('url')}, '/', 1)"
+    sfx = W.host_suffixes_sql(host)
+    red = P.redact_pii_sql("gated")
+    rep = TX.repetition_signals_sql(
+        "(SELECT doc_id, clean_text AS text FROM red)")
+    return f"""
+WITH src AS ({_WEB_PAGES_CTE}),
+gated AS (SELECT * FROM src WHERE NOT list_has_any({sfx}, ['{BLOCKED_DOMAIN}'])),
+red AS ({red}),
+rep AS (SELECT * FROM ({rep}) t),
+j AS (SELECT red.doc_id, g.lang, red.clean_text,
+             red.n_emails + red.n_ips + red.n_phones AS spans, rep.n_chars
+      FROM red JOIN gated g USING (doc_id) JOIN rep USING (doc_id)
+      WHERE NOT rep.repetitive),
+surv AS (SELECT * FROM (
+           SELECT j.*, row_number() OVER (PARTITION BY md5(clean_text)
+                                          ORDER BY doc_id) AS rn FROM j)
+         WHERE rn = 1)
+SELECT lang, COUNT(*) AS n_docs, SUM(spans) AS pii_spans,
+       SUM(n_chars) AS sum_chars
+FROM surv GROUP BY 1 ORDER BY 1
+"""
 
 
 PACK_BUDGET = 2048
@@ -1580,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "pack_chunks": q_pack_chunks,
         "domain_filter": q_domain_filter,
+        "web_pipeline": q_web_pipeline,
         # -- newest record is r1-r4: rotate into the r6 prefix --
         "broadcast_join_agg": q_broadcast_join_agg,
         "events_sessionize": q_events_sessionize,
@@ -1703,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _pagerank_hosts_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
         "domain_filter": _domain_filter_oracle(),
+        "web_pipeline": _web_pipeline_oracle(),
         "decontaminate": (
             "SELECT id AS doc_id, n_shingles, n_contaminated, contaminated "
             f"FROM ({D.decontaminate_sql('documents', '(SELECT doc_id, text FROM documents WHERE doc_id % ' + str(DECONTAM_MOD) + ' = 0)')}) "
