@@ -733,6 +733,51 @@ def _domain_filter_oracle() -> str:
             f"GROUP BY 1 ORDER BY 1")
 
 
+# incremental-dedup corpus: docs with doc_id % 3 == 0 are the INCOMING
+# batch, the rest are the existing corpus; two fixed texts plant digests
+# that recur across the boundary (dup_of_corpus) and within the batch
+# (dup_in_batch) at every sf
+INC_BATCH_MOD = 3
+INC_SHARED_A = "shared corpus page alpha"
+INC_SHARED_B = "shared corpus page beta"
+
+
+def _inc_docs(spark, sf_dir):
+    d = F.col("doc_id")
+    text = (F.when(F.pmod(d, F.lit(13)) == 0, F.lit(INC_SHARED_A))
+            .when(F.pmod(d, F.lit(17)) == 0, F.lit(INC_SHARED_B))
+            .otherwise(F.col("text")))
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+_INC_CTE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN '{INC_SHARED_A}'
+            WHEN doc_id % 17 = 0 THEN '{INC_SHARED_B}'
+            ELSE text END AS text
+FROM documents
+"""
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Batch-vs-corpus incremental dedup: the incoming batch joined against
+    the existing corpus digest index — per-doc admit/duplicate verdicts."""
+    docs = _inc_docs(spark, sf_dir)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(INC_BATCH_MOD)) == 0)
+    seen = (docs.filter(F.pmod(F.col("doc_id"), F.lit(INC_BATCH_MOD)) != 0)
+            .select(F.md5(F.col("text")).alias("digest")))
+    return (D.incremental_dedup(new, seen)
+            .orderBy("doc_id"))
+
+
+def _incremental_dedup_oracle() -> str:
+    batch = f"SELECT * FROM ({_INC_CTE}) WHERE doc_id % {INC_BATCH_MOD} = 0"
+    seen = (f"SELECT md5(text) AS digest FROM ({_INC_CTE}) "
+            f"WHERE doc_id % {INC_BATCH_MOD} <> 0")
+    return (D.incremental_dedup_sql(f"({batch})", f"({seen})").rstrip()
+            + " ORDER BY doc_id")
+
+
 # fixed text shared by every 11th page: the exact-dedup stage of the web
 # pipeline provably collapses them to one survivor
 WEB_DUP_TEXT = "lorem ipsum duplicate page content"
@@ -1678,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "domain_filter": q_domain_filter,
         "web_pipeline": q_web_pipeline,
+        "incremental_dedup": q_incremental_dedup,
         # -- newest record is r1-r4: rotate into the r6 prefix --
         "broadcast_join_agg": q_broadcast_join_agg,
         "events_sessionize": q_events_sessionize,
@@ -1802,6 +1848,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _pack_chunks_oracle(),
         "domain_filter": _domain_filter_oracle(),
         "web_pipeline": _web_pipeline_oracle(),
+        "incremental_dedup": _incremental_dedup_oracle(),
         "decontaminate": (
             "SELECT id AS doc_id, n_shingles, n_contaminated, contaminated "
             f"FROM ({D.decontaminate_sql('documents', '(SELECT doc_id, text FROM documents WHERE doc_id % ' + str(DECONTAM_MOD) + ' = 0)')}) "

@@ -157,7 +157,8 @@ def main():
                  "url_dedup", "c4_pipeline",
                  "html_extract", "decontaminate", "dedup_verified_clusters",
                  "pii_redact", "repetition_signals", "pagerank_hosts",
-                 "pack_chunks", "domain_filter", "web_pipeline"]:
+                 "pack_chunks", "domain_filter", "web_pipeline",
+                 "incremental_dedup"]:
         best = None
         for _ in range(2):
             t0 = time.time()

@@ -415,6 +415,56 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """
 
 
+# --- incremental (batch-vs-corpus) dedup -------------------------------------
+
+def incremental_dedup(new_docs: DataFrame, seen_digests: DataFrame, *,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, digest, status) for an INCOMING batch against an existing
+    corpus digest index — the shape every continuously-ingesting pipeline
+    runs: a new crawl lands, and only texts never seen before (in the
+    corpus OR earlier in the batch) are admitted.
+
+    status: ``'new'`` (admit), ``'dup_of_corpus'`` (digest already in
+    ``seen_digests``), ``'dup_in_batch'`` (first occurrence of this digest
+    within the batch wins by min id; later ones carry this status).
+
+    Scale shape: one digest-keyed left join of the batch against the index
+    (both shuffle on digest — the index side prunes to its digest column
+    only) and one window over batch digests (batch-sized).  The corpus is
+    never rescanned: ``seen_digests`` is the persisted index a production
+    deployment maintains (here derived on the fly by callers)."""
+    from pyspark.sql import Window
+    batch = new_docs.select(id_col, F.md5(F.col(text_col)).alias("digest"))
+    seen = seen_digests.select(F.col("digest").alias("digest"),
+                               F.lit(True).alias("__seen")).distinct()
+    j = batch.join(seen, "digest", "left")
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (j.withColumn("__rn", F.row_number().over(w))
+            .select(id_col, "digest",
+                    F.when(F.col("__seen").isNotNull(), "dup_of_corpus")
+                    .when(F.col("__rn") > 1, "dup_in_batch")
+                    .otherwise("new").alias("status")))
+
+
+def incremental_dedup_sql(batch_cte: str, seen_cte: str,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """DuckDB twin of :func:`incremental_dedup` (seen_cte yields `digest`)."""
+    return f"""
+SELECT {id_col}, digest,
+       CASE WHEN seen THEN 'dup_of_corpus'
+            WHEN rn > 1 THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM (
+  SELECT b.{id_col}, b.digest,
+         s.digest IS NOT NULL AS seen,
+         row_number() OVER (PARTITION BY b.digest ORDER BY b.{id_col}) AS rn
+  FROM (SELECT {id_col}, md5({text_col}) AS digest FROM ({batch_cte})) b
+  LEFT JOIN (SELECT DISTINCT digest FROM ({seen_cte})) s USING (digest))
+"""
+
+
 # --- benchmark decontamination ----------------------------------------------
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame, *,

@@ -798,3 +798,26 @@ def test_repetition_signals_plan_is_python_free(spark):
     plan = TX.repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, marker
+
+def test_incremental_dedup_statuses(spark):
+    new = spark.createDataFrame(
+        [(10, "seen before"), (11, "fresh one"), (12, "fresh two"),
+         (13, "fresh two"), (14, "fresh two"), (15, "seen before")],
+        "doc_id long, text string")
+    seen = spark.createDataFrame(
+        [("seen before",), ("other old",)], "text string") \
+        .select(F.md5("text").alias("digest"))
+    got = {r["doc_id"]: r["status"] for r in
+           D.incremental_dedup(new, seen).collect()}
+    assert got == {10: "dup_of_corpus", 11: "new", 12: "new",
+                   13: "dup_in_batch", 14: "dup_in_batch",
+                   15: "dup_of_corpus"}
+
+
+def test_incremental_dedup_empty_index_admits_first_only(spark):
+    new = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                                "doc_id long, text string")
+    seen = spark.createDataFrame([], "digest string")
+    got = {r["doc_id"]: r["status"] for r in
+           D.incremental_dedup(new, seen).collect()}
+    assert got == {1: "new", 2: "dup_in_batch", 3: "new"}
