@@ -668,6 +668,48 @@ def _host_links_oracle() -> str:
             + " ORDER BY src_host, dst_host")
 
 
+TILE_RANK_RES = 6
+
+
+def q_tile_rank(spark, sf_dir):
+    """The graft's two axes in ONE plan — geospatial x web graph: every
+    page geocodes to a Z-order tile AND carries its host's fixed-point
+    PageRank; per-tile doc counts and integer rank mass are the
+    crawl-prioritization heatmap (which regions of the keyspace hold the
+    best-linked hosts).  The rank table is host-sized and broadcasts; the
+    corpus-side plan is scan -> project -> broadcast join -> partial agg."""
+    from polycheck_spark.operators import graph as G
+    pages = _linked_pages(spark, sf_dir)
+    ranks = G.pagerank(G.host_link_graph(pages), iters=PAGERANK_ITERS)
+    lon, lat = synth.geocode_arith_cols(F.col("doc_id"))
+    tiled = pages.select(
+        "doc_id", G.host_col(F.col("url")).alias("host"),
+        C.cell_id_col(lon, lat, TILE_RANK_RES).alias("cell_id"))
+    return (tiled.join(F.broadcast(ranks), "host")
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("pr").cast("long").alias("rank_mass"))
+            .orderBy(F.col("rank_mass").desc(), F.col("cell_id")))
+
+
+def _tile_rank_oracle() -> str:
+    from polycheck_spark.operators import graph as G
+    edges = G.host_link_graph_sql(_LINKED_CTE)
+    pr = G.pagerank_sql(edges, iters=PAGERANK_ITERS)
+    lon_sql, lat_sql = synth.geocode_arith_sql("doc_id")
+    cell = C.cell_id_sql("lon", "lat", TILE_RANK_RES)
+    return f"""
+WITH pages AS ({_LINKED_CTE}),
+ranks AS ({pr}),
+tiled AS (SELECT doc_id, {G.host_sql('url')} AS host, {cell} AS cell_id
+          FROM (SELECT doc_id, url, {lon_sql} AS lon, {lat_sql} AS lat
+                FROM pages))
+SELECT t.cell_id, COUNT(*) AS n_docs, SUM(r.pr) AS rank_mass
+FROM tiled t JOIN ranks r USING (host)
+GROUP BY 1 ORDER BY rank_mass DESC, cell_id
+"""
+
+
 def q_pagerank_hosts(spark, sf_dir):
     """Fixed-point integer PageRank over the host link graph — 3 unrolled
     power-iteration rounds, bit-equal across engines (no floats)."""
@@ -1720,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "host_links": q_host_links,
         "pagerank_hosts": q_pagerank_hosts,
+        "tile_rank": q_tile_rank,
         "pack_chunks": q_pack_chunks,
         "domain_filter": q_domain_filter,
         "web_pipeline": q_web_pipeline,
@@ -1845,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _repetition_signals_oracle(),
         "host_links": _host_links_oracle(),
         "pagerank_hosts": _pagerank_hosts_oracle(),
+        "tile_rank": _tile_rank_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
         "domain_filter": _domain_filter_oracle(),
         "web_pipeline": _web_pipeline_oracle(),

@@ -111,6 +111,14 @@ def test_decontaminate_eval_side_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_tile_rank_broadcasts_host_ranks(spark, sf_dir):
+    """The corpus side of the geo x web-graph composition must never
+    shuffle: the host-rank table is host-sized and broadcast-pinned."""
+    plan = _plan(E.q_tile_rank(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_text_path_stays_jvm_side(spark, sf_dir):
     """Text ops must stay JVM-side: no Python evaluation node anywhere.
 
