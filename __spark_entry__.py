@@ -668,6 +668,21 @@ def _host_links_oracle() -> str:
             + " ORDER BY src_host, dst_host")
 
 
+def q_anchor_terms(spark, sf_dir):
+    """Anchor-text profile of the synthesized web: which terms the crawl
+    uses to describe each target host (one regex pass, positional zip of
+    href/text groups, token-keyed shuffle only)."""
+    from polycheck_spark.operators import graph as G
+    return (G.anchor_terms(_linked_pages(spark, sf_dir))
+            .orderBy("dst_host", "term"))
+
+
+def _anchor_terms_oracle() -> str:
+    from polycheck_spark.operators import graph as G
+    return (G.anchor_terms_sql(_LINKED_CTE).rstrip()
+            + " ORDER BY dst_host, term")
+
+
 TILE_RANK_RES = 6
 
 
@@ -1763,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_links": q_host_links,
         "pagerank_hosts": q_pagerank_hosts,
         "tile_rank": q_tile_rank,
+        "anchor_terms": q_anchor_terms,
         "pack_chunks": q_pack_chunks,
         "domain_filter": q_domain_filter,
         "web_pipeline": q_web_pipeline,
@@ -1889,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "host_links": _host_links_oracle(),
         "pagerank_hosts": _pagerank_hosts_oracle(),
         "tile_rank": _tile_rank_oracle(),
+        "anchor_terms": _anchor_terms_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
         "domain_filter": _domain_filter_oracle(),
         "web_pipeline": _web_pipeline_oracle(),

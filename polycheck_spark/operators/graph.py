@@ -160,3 +160,58 @@ def pagerank_sql(edges_cte: str, iters: int = 3, src_col: str = "src_host",
             f"GROUP BY n.{node_col})")
     return ("WITH " + ",\n".join(parts) +
             f"\nSELECT {node_col}, pr FROM pr_r{iters}")
+
+
+# --- anchor text -------------------------------------------------------------
+# The text INSIDE a link is the classic external description of its target
+# (search ranking, page labeling, seed expansion all consume it).  Anchor
+# elements are matched once; hrefs and inner texts are extracted as two
+# arrays of the SAME match sequence and zipped positionally — one pass,
+# no per-row Python.  Cross-engine note: Spark's regexp_extract_all takes
+# one group index per call and DuckDB's the same; positional zip is
+# arrays_zip in Spark and multi-unnest alignment in DuckDB.
+
+ANCHOR_RE = r'<a href="(https?://[^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_pairs(pages: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """(dst_host, anchor): one row per anchor element with non-empty inner
+    text, the target canonicalized to its host."""
+    s = F.col(html_col).cast("string")
+    hrefs = F.regexp_extract_all(s, F.lit(ANCHOR_RE), F.lit(1))
+    texts = F.regexp_extract_all(s, F.lit(ANCHOR_RE), F.lit(2))
+    z = pages.select(F.explode(F.arrays_zip(hrefs.alias("u"),
+                                            texts.alias("t"))).alias("z"))
+    return (z.select(host_col(F.col("z.u")).alias("dst_host"),
+                     F.col("z.t").alias("anchor"))
+            .filter(F.col("anchor") != ""))
+
+
+def anchor_terms(pages: DataFrame, *, html_col: str = "html",
+                 min_count: int = 1) -> DataFrame:
+    """(dst_host, term, n_links): how often each lower-cased anchor token
+    describes each target host — explode + one groupBy (term-keyed shuffle
+    of anchor tokens only, never page payloads)."""
+    from polycheck_spark.operators.text import tokens_col
+    p = anchor_pairs(pages, html_col=html_col)
+    t = p.select("dst_host",
+                 F.explode(tokens_col(F.col("anchor"))).alias("term"))
+    return (t.groupBy("dst_host", "term")
+            .agg(F.count(F.lit(1)).alias("n_links"))
+            .filter(F.col("n_links") >= min_count))
+
+
+def anchor_terms_sql(pages_cte: str, html_col: str = "html",
+                     min_count: int = 1) -> str:
+    """DuckDB twin of :func:`anchor_terms` (positional multi-unnest zip)."""
+    from polycheck_spark.operators.text import _tokens_sql
+    return f"""
+SELECT dst_host, term, COUNT(*) AS n_links FROM (
+  SELECT dst_host, unnest({_tokens_sql('anchor')}) AS term FROM (
+    SELECT {host_sql('u')} AS dst_host, t AS anchor FROM (
+      SELECT unnest(regexp_extract_all({html_col}, '{ANCHOR_RE}', 1)) AS u,
+             unnest(regexp_extract_all({html_col}, '{ANCHOR_RE}', 2)) AS t
+      FROM ({pages_cte}))
+    WHERE t <> ''))
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+"""

@@ -84,3 +84,26 @@ def test_pagerank_plan_is_python_free(spark):
     plan = G.pagerank(edf, iters=2)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, marker
+
+
+def test_anchor_pairs_zip_and_filters(spark):
+    html = ('<a href="http://one.com/x">Visit One</a>'
+            '<a href="/rel">relative skipped</a>'
+            '<a href="https://two.com/y" class="z">two words here</a>'
+            '<a href="http://three.com/e"></a>'   # empty anchor skipped
+            '<a href="http://four.com/q">Four</a>')
+    df = spark.createDataFrame([(html,)], "html string")
+    got = sorted((r["dst_host"], r["anchor"])
+                 for r in G.anchor_pairs(df).collect())
+    assert got == [("four.com", "Four"), ("one.com", "Visit One"),
+                   ("two.com", "two words here")]
+
+
+def test_anchor_terms_counts_tokens_lowercased(spark):
+    html = ('<a href="http://t.com/1">Great Site</a>'
+            '<a href="http://t.com/2">great content</a>')
+    df = spark.createDataFrame([(html,)], "html string")
+    got = {(r["dst_host"], r["term"]): r["n_links"]
+           for r in G.anchor_terms(df).collect()}
+    assert got == {("t.com", "great"): 2, ("t.com", "site"): 1,
+                   ("t.com", "content"): 1}
