@@ -668,6 +668,22 @@ def _host_links_oracle() -> str:
             + " ORDER BY src_host, dst_host")
 
 
+SEARCH_TERMS = ["dup", "window", "merge"]
+SEARCH_K = 25
+
+
+def q_search_topk(spark, sf_dir):
+    """Ad-hoc ranked retrieval: top-k docs for a bag-of-terms query under
+    integer TF-IDF (floor-divided idf weights — scores exact, rank
+    bit-deterministic; 'dup' is ~16x rarer than the other terms, so the
+    rarity weighting visibly reorders)."""
+    return TX.search_topk(_docs(spark, sf_dir), SEARCH_TERMS, SEARCH_K)
+
+
+def _search_topk_oracle() -> str:
+    return TX.search_topk_sql("documents", SEARCH_TERMS, SEARCH_K)
+
+
 def q_anchor_terms(spark, sf_dir):
     """Anchor-text profile of the synthesized web: which terms the crawl
     uses to describe each target host (one regex pass, positional zip of
@@ -1779,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "tile_rank": q_tile_rank,
         "anchor_terms": q_anchor_terms,
+        "search_topk": q_search_topk,
         "pack_chunks": q_pack_chunks,
         "domain_filter": q_domain_filter,
         "web_pipeline": q_web_pipeline,
@@ -1906,6 +1923,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _pagerank_hosts_oracle(),
         "tile_rank": _tile_rank_oracle(),
         "anchor_terms": _anchor_terms_oracle(),
+        "search_topk": _search_topk_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
         "domain_filter": _domain_filter_oracle(),
         "web_pipeline": _web_pipeline_oracle(),

@@ -592,3 +592,58 @@ LEFT JOIN (
   FROM pos GROUP BY {id_col}
 ) s USING ({id_col})
 """
+
+
+# --- ranked retrieval --------------------------------------------------------
+
+IDF_SCALE = 10**9
+
+
+def search_topk(docs: DataFrame, terms: list[str], k: int, *,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-k documents for a bag-of-terms query under integer TF-IDF
+    scoring — the ad-hoc corpus-exploration query every dataset owner
+    runs ("show me the docs about X").
+
+    score(d) = sum over query terms t of tf(t, d) * (IDF_SCALE div df(t)):
+    floor-divided integer idf weights, so scores are exact 64-bit integers
+    and the ranking (score desc, id asc) is bit-deterministic across
+    engines — no log() crosses the oracle boundary.  Terms absent from
+    the corpus contribute nothing (their df relation is empty; no 0-div).
+
+    Scale shape: the explode is filtered to the query terms BEFORE any
+    shuffle (array_intersect-style member filter), so the shuffled
+    relation is bounded by query-term postings, not corpus tokens; df and
+    the per-term weights derive from that same tiny relation, broadcast
+    back; the final top-k is a TakeOrdered, never a global sort.
+    """
+    arr = F.array([F.lit(t) for t in terms])
+    tok = (docs.select(id_col,
+                       F.explode(F.filter(tokens_col(F.col(text_col)),
+                                          lambda t: F.array_contains(arr, t)))
+                       .alias("term")))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = df_.select("term", F.expr(f"{IDF_SCALE} div df").alias("w"))
+    scored = (tf.join(F.broadcast(w), "term")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("tf") * F.col("w")).cast("long").alias("score")))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def search_topk_sql(table: str, terms: list[str], k: int,
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`search_topk` — same integer weights, same
+    tie-break."""
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH st_tok AS (
+  SELECT {id_col}, unnest(list_filter({_tokens_sql(text_col)},
+                                      t -> t IN ({lits}))) AS term
+  FROM {table}),
+st_tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM st_tok GROUP BY 1, 2),
+st_w AS (SELECT term, {IDF_SCALE} // COUNT(*) AS w FROM st_tf GROUP BY 1)
+SELECT {id_col}, CAST(SUM(tf * w) AS BIGINT) AS score
+FROM st_tf JOIN st_w USING (term)
+GROUP BY 1 ORDER BY score DESC, {id_col} LIMIT {k}
+"""

@@ -821,3 +821,31 @@ def test_incremental_dedup_empty_index_admits_first_only(spark):
     got = {r["doc_id"]: r["status"] for r in
            D.incremental_dedup(new, seen).collect()}
     assert got == {1: "new", 2: "dup_in_batch", 3: "new"}
+
+def test_search_topk_rarity_weighting_and_ties(spark):
+    rows = [
+        (1, "rare common common common"),     # tf(rare)=1, tf(common)=3
+        (2, "common common common common"),   # tf(common)=4
+        (3, "rare rare other"),               # tf(rare)=2
+        (4, "nothing relevant here"),
+        (5, "common"),                        # ties with nothing below it
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["score"]) for r in
+           TX.search_topk(docs, ["rare", "common"], 4).collect()]
+    w_rare = TX.IDF_SCALE // 2    # df(rare)=2
+    w_common = TX.IDF_SCALE // 3  # df(common)=3
+    exp = sorted([(1, w_rare + 3 * w_common), (2, 4 * w_common),
+                  (3, 2 * w_rare), (5, w_common)],
+                 key=lambda x: (-x[1], x[0]))[:4]
+    assert got == exp
+    assert [d for d, _ in got] == [1, 2, 3, 5]
+    # rarity weighting: doc 3's two rare hits outscore doc 5's common hit 3x
+    assert dict(got)[3] == 3 * dict(got)[5] + 1  # 2*(S//2) vs S//3, S=10^9
+
+
+def test_search_topk_absent_term_is_ignored(spark):
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    got = [(r["doc_id"], r["score"]) for r in
+           TX.search_topk(docs, ["alpha", "zzz_missing"], 5).collect()]
+    assert got == [(1, TX.IDF_SCALE)]
