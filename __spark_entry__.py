@@ -668,6 +668,44 @@ def _host_links_oracle() -> str:
             + " ORDER BY src_host, dst_host")
 
 
+# robots rules over the synthesized url corpus (hosts site0-4.example.com,
+# paths /p/<d%13> with optional trailing slash): prefix shadowing
+# (site0: /p/1 disallowed but /p/10 re-allowed), a disallow-all host,
+# an equal-length tie that must break toward allow, a rule-free host, and
+# a shallow disallow with a deep re-allow — ONE shared list drives both
+# engines
+ROBOTS_RULES = [
+    ("site0.example.com", "/p/1", False),
+    ("site0.example.com", "/p/10", True),
+    ("site1.example.com", "/", False),
+    ("site2.example.com", "/p/3", True),
+    ("site2.example.com", "/p/3", False),
+    ("site4.example.com", "/p", False),
+    ("site4.example.com", "/p/7", True),
+]
+
+_ROBOTS_RULES_CTE = " UNION ALL ".join(
+    f"SELECT '{h}' AS host, '{p}' AS prefix, {str(a).upper()} AS allow"
+    for h, p, a in ROBOTS_RULES)
+
+
+def q_robots_filter(spark, sf_dir):
+    """Robots-rule evaluation over the crawl frontier: longest matching
+    path prefix wins, equal lengths break toward allow, rule-free hosts
+    pass — per-doc verdicts."""
+    from polycheck_spark.operators import web as W
+    pages = _docs(spark, sf_dir).select("doc_id", _synth_url_col().alias("url"))
+    rules = spark.createDataFrame(ROBOTS_RULES,
+                                  "host string, prefix string, allow boolean")
+    return W.robots_verdicts(pages, rules).orderBy("doc_id")
+
+
+def _robots_filter_oracle() -> str:
+    from polycheck_spark.operators import web as W
+    return (W.robots_verdicts_sql(_SYNTH_URL_CTE, _ROBOTS_RULES_CTE).rstrip()
+            + " ORDER BY doc_id")
+
+
 SEARCH_TERMS = ["dup", "window", "merge"]
 SEARCH_K = 25
 
@@ -1796,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rank": q_tile_rank,
         "anchor_terms": q_anchor_terms,
         "search_topk": q_search_topk,
+        "robots_filter": q_robots_filter,
         "pack_chunks": q_pack_chunks,
         "domain_filter": q_domain_filter,
         "web_pipeline": q_web_pipeline,
@@ -1924,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_rank": _tile_rank_oracle(),
         "anchor_terms": _anchor_terms_oracle(),
         "search_topk": _search_topk_oracle(),
+        "robots_filter": _robots_filter_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
         "domain_filter": _domain_filter_oracle(),
         "web_pipeline": _web_pipeline_oracle(),

@@ -158,7 +158,8 @@ def main():
                  "html_extract", "decontaminate", "dedup_verified_clusters",
                  "pii_redact", "repetition_signals", "pagerank_hosts",
                  "pack_chunks", "domain_filter", "web_pipeline",
-                 "incremental_dedup", "tile_rank", "search_topk"]:
+                 "incremental_dedup", "tile_rank", "search_topk",
+                 "robots_filter"]:
         best = None
         for _ in range(2):
             t0 = time.time()

@@ -214,3 +214,83 @@ def domain_block_filter(pages: DataFrame, blocklist: DataFrame, *,
         "__d", "left_semi").select(id_col).distinct())
     how = "left_anti" if keep else "left_semi"
     return pages.join(blocked_ids, id_col, how)
+
+
+# --- robots-rule evaluation --------------------------------------------------
+# Crawl-compliance gate: per-host path-prefix rules (the Allow:/Disallow:
+# lines of robots.txt, pre-parsed into a rules table), evaluated with the
+# standard semantics: the LONGEST matching prefix wins, equal lengths break
+# toward Allow, no matching rule means allowed.
+
+def url_path_col(url):
+    """Path of a URL column ('/' when absent), query/fragment stripped —
+    robots rules match the RAW path, so no canonicalization here beyond
+    scheme removal."""
+    pos = F.locate("://", url)
+    after = F.when(pos > 0, url.substr(pos + F.lit(3), F.length(url))) \
+        .otherwise(url)
+    cut = F.substring_index(F.substring_index(after, "?", 1), "#", 1)
+    host = F.substring_index(cut, "/", 1)
+    rest = cut.substr(F.length(host) + F.lit(1), F.length(cut))
+    return F.when(rest == "", F.lit("/")).otherwise(rest)
+
+
+def url_path_sql(url_expr: str) -> str:
+    after = (f"(CASE WHEN strpos({url_expr}, '://') > 0 "
+             f"THEN substr({url_expr}, strpos({url_expr}, '://') + 3) "
+             f"ELSE {url_expr} END)")
+    cutq = (f"(CASE WHEN strpos({after}, '?') > 0 "
+            f"THEN substr({after}, 1, strpos({after}, '?') - 1) ELSE {after} END)")
+    cut = (f"(CASE WHEN strpos({cutq}, '#') > 0 "
+           f"THEN substr({cutq}, 1, strpos({cutq}, '#') - 1) ELSE {cutq} END)")
+    host = f"split_part({cut}, '/', 1)"
+    rest = f"substr({cut}, length({host}) + 1)"
+    return f"(CASE WHEN {rest} = '' THEN '/' ELSE {rest} END)"
+
+
+def robots_verdicts(pages: DataFrame, rules: DataFrame, *,
+                    id_col: str = "doc_id",
+                    url_col: str = "url") -> DataFrame:
+    """(id, allowed): per-page robots verdict against a rules table
+    (host, prefix, allow) — longest matching prefix wins, ties break
+    toward allow, hosts without rules are allowed.
+
+    Shape: broadcast the (small, pre-parsed) rules table, host-keyed join +
+    prefix filter, then the winning rule per page via one window over the
+    MATCHED relation only (bounded by rules-per-host, not corpus size),
+    and a left join back onto page ids for the no-rule default."""
+    from pyspark.sql import Window
+    host = F.substring_index(canonical_url_col(F.col(url_col)), "/", 1)
+    pp = pages.select(id_col, host.alias("__h"),
+                      url_path_col(F.col(url_col)).alias("__p"))
+    r = rules.select(F.col("host").alias("__h"), "prefix", "allow")
+    m = (pp.join(F.broadcast(r), "__h")
+         .filter(F.col("__p").startswith(F.col("prefix"))))
+    w = Window.partitionBy(id_col).orderBy(
+        F.length("prefix").desc(), F.col("allow").desc())
+    win = (m.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1).select(id_col, "allow"))
+    return (pp.select(id_col).join(win, id_col, "left")
+            .select(id_col, F.coalesce(F.col("allow"), F.lit(True))
+                    .alias("allowed")))
+
+
+def robots_verdicts_sql(pages_cte: str, rules_cte: str,
+                        id_col: str = "doc_id",
+                        url_col: str = "url") -> str:
+    host = f"split_part({canonical_url_sql(url_col)}, '/', 1)"
+    return f"""
+SELECT p.{id_col}, coalesce(w.allow, TRUE) AS allowed FROM
+  (SELECT {id_col}, {host} AS h, {url_path_sql(url_col)} AS pth
+   FROM ({pages_cte})) p
+LEFT JOIN (
+  SELECT {id_col}, allow FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY {id_col}
+        ORDER BY length(prefix) DESC, allow DESC) AS rn FROM (
+      SELECT pp.{id_col}, r.allow, r.prefix
+      FROM (SELECT {id_col}, {host} AS h, {url_path_sql(url_col)} AS pth
+            FROM ({pages_cte})) pp
+      JOIN ({rules_cte}) r ON r.host = pp.h
+      WHERE starts_with(pp.pth, r.prefix)) m)
+  WHERE rn = 1) w USING ({id_col})
+"""

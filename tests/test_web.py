@@ -183,3 +183,34 @@ def test_host_suffixes_longest_first(spark):
     df = spark.createDataFrame([("a.b.example.com",)], "h string")
     got = df.select(W.host_suffixes_col(F.col("h")).alias("s")).collect()[0]["s"]
     assert got == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+def test_robots_verdicts_semantics(spark):
+    rules = spark.createDataFrame(
+        [("ex.com", "/private", False), ("ex.com", "/private/pub", True),
+         ("shut.com", "/", False),
+         ("tie.com", "/x", True), ("tie.com", "/x", False)],
+        "host string, prefix string, allow boolean")
+    pages = spark.createDataFrame(
+        [(1, "http://ex.com/private/a"),       # blocked by /private
+         (2, "http://ex.com/private/pub/b"),   # re-allowed (longer prefix)
+         (3, "http://ex.com/open"),            # no matching rule -> allowed
+         (4, "http://WWW.ex.com/private?q=1"), # canonical host + raw path
+         (5, "http://shut.com/anything"),      # disallow-all host
+         (6, "http://norules.com/a"),          # rule-free host -> allowed
+         (7, "http://tie.com/x"),              # equal length -> allow wins
+         (8, "http://ex.com")],                # pathless -> '/', no match
+        "doc_id long, url string")
+    got = {r["doc_id"]: r["allowed"] for r in
+           W.robots_verdicts(pages, rules).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: False, 5: False,
+                   6: True, 7: True, 8: True}
+
+
+def test_url_path_col_extraction(spark):
+    rows = [("http://h.com/a/b?q=1#f",), ("https://h.com",),
+            ("h.com/x",), ("http://h.com/?q",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r["p"] for r in
+           df.select(W.url_path_col(F.col("url")).alias("p")).collect()]
+    assert got == ["/a/b", "/", "/x", "/"]
