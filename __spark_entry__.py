@@ -1817,7 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy (r6): the driver records a per-round PREFIX of this
     # dict (r1: 30, r2: 40, r3/r4: 50, r5: 50 rows), so the goal is that
     # every entry's MOST RECENT driver-recorded green row stays at most two
-    # rounds old.  The head holds this round's 17 new queries plus the 18
+    # rounds old.  The head holds this round's 16 new queries plus the 18
     # entries whose newest record is r1-r4 (the 5 that sat past r5's cut
     # and the 13 pytest-pinned tail entries); everything r5 recorded
     # follows in its previous relative order, heaviest twins last.
