@@ -107,7 +107,16 @@ def pagerank(edges: DataFrame, *, iters: int = 3, src_col: str = "src_host",
     exact-arithmetic contract).  ``iters`` is a fixed budget, not a
     convergence probe, so the oracle can unroll it; 3 rounds already
     separate hub tiers on host graphs, and callers needing convergence run
-    more rounds at the same per-round cost."""
+    more rounds at the same per-round cost.
+
+    int64 headroom: the per-edge product ``pr * 85 * w`` must stay under
+    2^63.  Ranks are bounded by the total mass ``n_nodes * BASE``, so with
+    the default BASE=1e9 the contract holds to ~1e8 nodes at unit weights;
+    for larger graphs or heavy edge weights, scale BASE down — rank
+    resolution shrinks proportionally but the fixed-point exactness
+    argument is independent of BASE."""
+    if node_col in ("src", "dst"):
+        raise ValueError("node_col must differ from the internal src/dst names")
     w = F.col(weight_col) if weight_col else F.lit(1)
     e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
                       w.cast("long").alias("w"))
