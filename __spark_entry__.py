@@ -383,6 +383,10 @@ def q_quality_scores(spark, sf_dir):
     return TX.quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_unigram_quality(spark, sf_dir):
+    return TX.unigram_quality(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     return TX.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -1817,12 +1821,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy (r6): the driver records a per-round PREFIX of this
     # dict (r1: 30, r2: 40, r3/r4: 50, r5: 50 rows), so the goal is that
     # every entry's MOST RECENT driver-recorded green row stays at most two
-    # rounds old.  The head holds this round's 16 new queries plus the 18
+    # rounds old.  The head holds this round's 17 new queries plus the 18
     # entries whose newest record is r1-r4 (the 5 that sat past r5's cut
     # and the 13 pytest-pinned tail entries); everything r5 recorded
     # follows in its previous relative order, heaviest twins last.
     return {
         # -- new this round --
+        "unigram_quality": q_unigram_quality,
         "dedup_verified_clusters": q_dedup_verified_clusters,
         "html_extract": q_html_extract,
         "decontaminate": q_decontaminate,
@@ -1989,6 +1994,7 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY doc_id"),
         "token_counts": TX.token_counts_sql("documents") + " ORDER BY doc_id",
         "quality_scores": TX.quality_scores_sql("documents") + " ORDER BY doc_id",
+        "unigram_quality": TX.unigram_quality_sql("documents") + " ORDER BY doc_id",
         "lang_id": TX.lang_id_sql("documents") + " ORDER BY doc_id",
         "fingerprints": TX.fingerprints_sql("documents") + " ORDER BY doc_id",
         "vocab_topk": TX.vocab_topk_sql("documents", VOCAB_K) + " ORDER BY rank",

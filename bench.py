@@ -159,7 +159,7 @@ def main():
                  "pii_redact", "repetition_signals", "pagerank_hosts",
                  "pack_chunks", "domain_filter", "web_pipeline",
                  "incremental_dedup", "tile_rank", "search_topk",
-                 "robots_filter"]:
+                 "robots_filter", "unigram_quality"]:
         best = None
         for _ in range(2):
             t0 = time.time()

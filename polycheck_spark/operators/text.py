@@ -647,3 +647,93 @@ SELECT {id_col}, CAST(SUM(tf * w) AS BIGINT) AS score
 FROM st_tf JOIN st_w USING (term)
 GROUP BY 1 ORDER BY score DESC, {id_col} LIMIT {k}
 """
+
+
+# --- corpus-frequency quality (CCNet-style LM-quality proxy) ----------------
+
+def unigram_quality(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document mean corpus-frequency of its tokens, with an
+    integer-exact above/below-corpus-mean verdict — the bit-exact stand-in
+    for CCNet's LM-perplexity bucket filter (docs made of corpus-rare
+    tokens score low, like high-perplexity gibberish; docs made of
+    ubiquitous tokens score high).
+
+    Shape for scale: explode -> per-(doc, token) tf (map-side combined, a
+    doc's repeats collapse before the exchange) -> token totals as a SECOND
+    agg over the tf table (vocabulary-sized, far smaller than the token
+    stream) -> tf-vocab equi-join shuffling pre-aggregated rows on token
+    (AQE handles the stopword skew) -> per-doc agg on the doc key.  The
+    corpus-mean comparison broadcasts a ONE-ROW totals frame — never a
+    global sort (an ntile/percent_rank bucketing would single-partition
+    the corpus).
+
+    Exactness: every accumulation is BIGINT (no double sums anywhere);
+    the verdict compares freq_sum * total_toks >= total_freq * n_toks in
+    DECIMAL(38,0); ``mean_freq`` is one IEEE division, bit-identical
+    across engines.  Headroom: per-doc freq_sum <= n_toks x max token
+    count (~1e11 at 1e8 docs); the DECIMAL(38,0) cross-products carry
+    that to ~1e19 x 1e19 before precision loss — beyond any single-corpus
+    deployment this engine targets.
+    """
+    tok = docs.select(F.col(id_col),
+                      F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    # the tf table feeds two consumers (vocab totals + the scoring join)
+    # and per_doc feeds two more (corpus totals + the result) — Spark
+    # re-executes shared subtrees per branch, so without checkpoints this
+    # plan scans the corpus FOUR times (plan-measured).  Lazy
+    # localCheckpoints materialize each once; the ContextCleaner reclaims
+    # them when the result frame is garbage-collected (the
+    # dedup/_shingles idiom).
+    tf = (tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=False))
+    tf = tf.select(*[F.col(c).alias(c) for c in tf.columns])
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    per_doc = (tf.join(vocab, "tok")
+               .groupBy(id_col)
+               .agg(F.sum(F.col("tf") * F.col("cnt")).alias("freq_sum"),
+                    F.sum("tf").alias("n_toks"))
+               .localCheckpoint(eager=False))
+    per_doc = per_doc.select(*[F.col(c).alias(c) for c in per_doc.columns])
+    totals = per_doc.agg(F.sum("freq_sum").alias("total_freq"),
+                         F.sum("n_toks").alias("total_toks"))
+
+    def d(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    return (per_doc.crossJoin(F.broadcast(totals))
+            .select(F.col(id_col),
+                    F.col("freq_sum"),
+                    F.col("n_toks"),
+                    (F.col("freq_sum").cast("double")
+                     / F.col("n_toks").cast("double")).alias("mean_freq"),
+                    (d("freq_sum") * d("total_toks")
+                     >= d("total_freq") * d("n_toks"))
+                    .cast("int").alias("above_mean")))
+
+
+def unigram_quality_sql(table: str, id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB twin of :func:`unigram_quality` — same BIGINT accumulations,
+    same DECIMAL(38,0) cross-product verdict, same single division."""
+    return f"""
+WITH uq_tok AS (
+  SELECT {id_col}, unnest({_tokens_sql(text_col)}) AS tok FROM {table}
+),
+uq_tf AS (SELECT {id_col}, tok, COUNT(*) AS tf FROM uq_tok GROUP BY 1, 2),
+uq_vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM uq_tf GROUP BY 1),
+uq_doc AS (
+  SELECT {id_col},
+         CAST(SUM(tf * cnt) AS BIGINT) AS freq_sum,
+         CAST(SUM(tf) AS BIGINT) AS n_toks
+  FROM uq_tf JOIN uq_vocab USING (tok) GROUP BY 1
+),
+uq_tot AS (SELECT CAST(SUM(freq_sum) AS BIGINT) AS total_freq,
+                  CAST(SUM(n_toks) AS BIGINT) AS total_toks FROM uq_doc)
+SELECT {id_col}, freq_sum, n_toks,
+       CAST(freq_sum AS DOUBLE) / CAST(n_toks AS DOUBLE) AS mean_freq,
+       CAST(CAST(freq_sum AS DECIMAL(38,0)) * CAST(total_toks AS DECIMAL(38,0))
+            >= CAST(total_freq AS DECIMAL(38,0)) * CAST(n_toks AS DECIMAL(38,0))
+            AS INT) AS above_mean
+FROM uq_doc, uq_tot
+"""
