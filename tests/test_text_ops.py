@@ -41,6 +41,30 @@ def test_lang_id(spark, sf_dir, docs):
     assert got == exp
 
 
+def test_unigram_quality(spark, sf_dir, docs):
+    got = _sorted_rows(TX.unigram_quality(docs))
+    exp = sorted(_duck(sf_dir, TX.unigram_quality_sql("documents")))
+    assert got == exp
+
+
+def test_unigram_quality_semantics(spark):
+    """Known-corpus check of the CCNet-style proxy: the rare-token doc
+    (gibberish analogue) must score below the corpus mean while the
+    stopword-heavy docs score above, with exact integer evidence.
+
+    Corpus: d1 "the the cat", d2 "the dog", d3 "zyx qwv" ->
+    counts the=3 cat=dog=zyx=qwv=1; totals freq=13 toks=7 (mean 13/7).
+    """
+    docs = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the dog"), (3, "zyx qwv")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in TX.unigram_quality(docs).collect()}
+    assert (rows[1].freq_sum, rows[1].n_toks, rows[1].above_mean) == (7, 3, 1)
+    assert (rows[2].freq_sum, rows[2].n_toks, rows[2].above_mean) == (4, 2, 1)
+    assert (rows[3].freq_sum, rows[3].n_toks, rows[3].above_mean) == (2, 2, 0)
+    assert rows[3].mean_freq == 1.0
+
+
 def test_lang_id_script_ranges(spark, tmp_path):
     """Non-Latin scripts must win over the stopword vote — but only when
     they hold >= 1/20 of the characters (the proportional gate: one stray
