@@ -777,7 +777,7 @@ ranks AS ({pr}),
 tiled AS (SELECT doc_id, {G.host_sql('url')} AS host, {cell} AS cell_id
           FROM (SELECT doc_id, url, {lon_sql} AS lon, {lat_sql} AS lat
                 FROM pages))
-SELECT t.cell_id, COUNT(*) AS n_docs, SUM(r.pr) AS rank_mass
+SELECT t.cell_id, COUNT(*) AS n_docs, CAST(SUM(r.pr) AS BIGINT) AS rank_mass
 FROM tiled t JOIN ranks r USING (host)
 GROUP BY 1 ORDER BY rank_mass DESC, cell_id
 """
@@ -978,8 +978,8 @@ surv AS (SELECT * FROM (
            SELECT j.*, row_number() OVER (PARTITION BY md5(clean_text)
                                           ORDER BY doc_id) AS rn FROM j)
          WHERE rn = 1)
-SELECT lang, COUNT(*) AS n_docs, SUM(spans) AS pii_spans,
-       SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(spans) AS BIGINT) AS pii_spans,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM surv GROUP BY 1 ORDER BY 1
 """
 

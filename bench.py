@@ -18,12 +18,55 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+# Janino compile failures (64 KB method limit and friends) make Spark fall
+# back to interpreted execution: results stay correct, rc stays 0, and the
+# only evidence is an ERROR stack in the JVM log — which is how round 6's
+# robots_filter regression shipped silently.  The bench must treat that as
+# a named failure, not noise.
+_CODEGEN_FAILURE_MARKERS = (
+    "InternalCompilerException",
+    "CompileException",
+    "grows beyond 64 KB",
+    "Failed to compile the generated Java code",
+)
+
+
+def codegen_failures(text: str) -> list[str]:
+    """Lines in captured JVM output that indicate a whole-stage-codegen
+    compile failure (and therefore an interpreted-execution fallback)."""
+    return [ln for ln in text.splitlines()
+            if any(m in ln for m in _CODEGEN_FAILURE_MARKERS)]
+
+
+def _run_wrapped() -> int:
+    """Re-exec this script capturing combined stdout+stderr (the JVM logs
+    to the inherited stderr in local mode), scan for codegen failures, and
+    only then re-emit the inner run's JSON line.  A plan that lost codegen
+    exits 3 with the offending lines instead of silently reporting rc 0."""
+    env = dict(os.environ, BENCH_INNER="1")
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True)
+    failures = codegen_failures(proc.stdout + proc.stderr)
+    sys.stderr.write(proc.stderr[-4000:])
+    if proc.returncode != 0:
+        sys.stdout.write(proc.stdout)
+        return proc.returncode
+    if failures:
+        print("BENCH FAILURE: whole-stage codegen fell back to interpreted "
+              "execution during the run:", file=sys.stderr)
+        for ln in failures[:10]:
+            print(f"  {ln}", file=sys.stderr)
+        return 3
+    sys.stdout.write(proc.stdout)
+    return 0
 
 
 def bench_kernel_pip() -> float:
@@ -189,4 +232,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER") == "1":
+        main()
+    else:
+        sys.exit(_run_wrapped())

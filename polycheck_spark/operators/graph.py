@@ -115,8 +115,10 @@ def pagerank(edges: DataFrame, *, iters: int = 3, src_col: str = "src_host",
     for larger graphs or heavy edge weights, scale BASE down — rank
     resolution shrinks proportionally but the fixed-point exactness
     argument is independent of BASE."""
-    if node_col in ("src", "dst"):
-        raise ValueError("node_col must differ from the internal src/dst names")
+    if node_col in ("src", "dst", "w", "out_w", "pr"):
+        raise ValueError(
+            "node_col collides with an internal working column "
+            "('src', 'dst', 'w', 'out_w', 'pr') — pick another name")
     w = F.col(weight_col) if weight_col else F.lit(1)
     e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
                       w.cast("long").alias("w"))

@@ -53,7 +53,6 @@ def pack_chunks(docs: DataFrame, budget: int, *,
          .rowsBetween(Window.unboundedPreceding, -1))
     n = F.col(tokens_col_name).cast("long")
     start = F.coalesce(F.sum(tokens_col_name).over(w), F.lit(0)).cast("long")
-    last = start + F.greatest(n - 1, F.lit(0))
     out = docs.select(*group_cols, id_col, n.cast("int").alias("n_tokens"),
                       start.alias("start_off"))
     bin_id = F.expr(f"start_off div {budget}")

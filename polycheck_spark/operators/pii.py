@@ -100,9 +100,10 @@ def pii_profile_sql(table: str, group_col: str = "lang",
                     id_col: str = "doc_id", text_col: str = "text") -> str:
     inner = redact_pii_sql(table, id_col, text_col)
     return (f"SELECT g.{group_col}, COUNT(*) AS n_docs, "
-            f"SUM(CASE WHEN r.n_emails + r.n_ips + r.n_phones > 0 "
-            f"THEN 1 ELSE 0 END) AS n_docs_with_pii, "
-            f"SUM(r.n_emails) AS total_emails, SUM(r.n_ips) AS total_ips, "
-            f"SUM(r.n_phones) AS total_phones "
+            f"CAST(SUM(CASE WHEN r.n_emails + r.n_ips + r.n_phones > 0 "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii, "
+            f"CAST(SUM(r.n_emails) AS BIGINT) AS total_emails, "
+            f"CAST(SUM(r.n_ips) AS BIGINT) AS total_ips, "
+            f"CAST(SUM(r.n_phones) AS BIGINT) AS total_phones "
             f"FROM ({inner}) r JOIN {table} g USING ({id_col}) "
             f"GROUP BY g.{group_col}")

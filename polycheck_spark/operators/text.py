@@ -437,38 +437,37 @@ def repetition_signals(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Per-document repetition profile (the Gopher quality-filter family):
 
-    - ``n_lines`` / ``n_dup_lines``: newline-split line count and how many
-      line INSTANCES belong to a line occurring more than once in the doc
-      (Gopher's "duplicate line fraction" numerator);
-    - ``dup_line_chars`` / ``n_chars``: character mass inside those
+    - ``n_lines`` / ``n_dup_lines``: newline-split line count and the
+      Gopher "duplicate line fraction" numerator — NON-FIRST occurrences
+      only, i.e. ``sum(freq - 1)`` over distinct repeated lines, computed
+      in closed form as ``n_lines - n_distinct_lines``;
+    - ``dup_line_chars`` / ``n_chars``: character mass of those non-first
       duplicate instances vs the whole doc ("fraction of characters in
-      duplicate lines");
+      duplicate lines" — total line chars minus distinct-line chars);
     - ``n_bigrams`` / ``top_bigram_count``: word-bigram total and the
       frequency of the most repeated bigram ("top-2-gram fraction");
-    - ``repetitive``: the standard gate — over 30% duplicate lines OR over
-      20% of chars in duplicate lines (integer cross-multiplication, so the
-      flag is exact in both engines).
+    - ``repetitive``: the Gopher gate — duplicate-line fraction over 30%
+      OR duplicate-line-char fraction over 20% (integer
+      cross-multiplication, so the flag is exact in both engines).
 
     All counts are integers, so the oracle comparison is exact — no float
     ratios cross the engine boundary; callers form fractions themselves.
 
-    Scale design: pure per-row Column lambda work (``filter`` /
-    ``transform`` / ``aggregate`` higher-order functions) — no Python, no
-    shuffle, linear in corpus size.  The within-doc frequency probes are
-    O(lines^2) / O(bigrams^2) per DOCUMENT, bounded by page length — the
-    per-row constant a 10^12-doc map stage absorbs; nothing global is
-    built (contrast :func:`line_frequencies`, the corpus-wide twin).
+    Scale design: pure per-row Column lambda work (``transform`` /
+    ``aggregate`` higher-order functions) — no Python, no shuffle, linear
+    in corpus size.  The dup-line counts are set-difference arithmetic
+    (``array_distinct``), O(lines) per doc; only the top-bigram run scan
+    is O(n log n) per DOCUMENT, bounded by page length — the per-row
+    constant a 10^12-doc map stage absorbs; nothing global is built
+    (contrast :func:`line_frequencies`, the corpus-wide twin).
     """
     t = F.col(text_col)
     lines = F.split(t, "\n")
-    freq_gt1 = lambda arr, x: F.size(F.filter(arr, lambda y: y == x)) > 1
-    n_dup = F.aggregate(
-        lines, F.lit(0),
-        lambda acc, x: acc + F.when(freq_gt1(lines, x), 1).otherwise(0))
-    dup_chars = F.aggregate(
-        lines, F.lit(0),
-        lambda acc, x: acc + F.when(freq_gt1(lines, x),
-                                    F.length(x)).otherwise(0))
+    dlines = F.array_distinct(lines)
+    line_chars = lambda arr: F.aggregate(
+        arr, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_dup = F.size(lines) - F.size(dlines)
+    dup_chars = line_chars(lines) - line_chars(dlines)
     toks = tokens_col(t)
     n_tok = F.size(toks)
     bigrams = F.when(n_tok >= 2, F.transform(
@@ -510,11 +509,12 @@ def repetition_signals_sql(table: str, id_col: str = "doc_id",
     tokenizer, same integer gates (list lambdas mirror the Column HOFs)."""
     t = text_col
     lines = f"string_split({t}, chr(10))"
-    n_dup = (f"coalesce(list_sum(list_transform({lines}, x -> CASE WHEN "
-             f"len(list_filter({lines}, y -> y = x)) > 1 THEN 1 ELSE 0 END)), 0)")
-    dup_chars = (f"coalesce(list_sum(list_transform({lines}, x -> CASE WHEN "
-                 f"len(list_filter({lines}, y -> y = x)) > 1 "
-                 f"THEN length(x) ELSE 0 END)), 0)")
+    chars = lambda arr: (f"coalesce(list_sum(list_transform({arr}, "
+                         f"x -> length(x))), 0)")
+    # Gopher freq-1 counting in closed form: instances minus distinct
+    # (string_split yields no NULLs, so list_distinct drops nothing else)
+    n_dup = f"(len({lines}) - len(list_distinct({lines})))"
+    dup_chars = f"({chars(lines)} - {chars(f'list_distinct({lines})')})"
     toks = _tokens_sql(t)
     bigrams = (f"CASE WHEN len(tl) >= 2 THEN list_transform("
                f"range(1, len(tl)), i -> tl[i] || ' ' || tl[i + 1]) "

@@ -165,6 +165,12 @@ GROUP BY 1
 # human-curated, thousands of rows at most), and the corpus is scanned once
 # — no shuffle keyed on pages at any point.
 
+# Largest blocklist inlined as a literal array: past this the expression
+# itself becomes the bottleneck (plan size, task serialization) and the
+# broadcast-join strategy is strictly better.
+LITERAL_BLOCKLIST_CAP = 100_000
+
+
 def host_suffixes_col(host):
     """array<string> of dot-suffixes of a host, longest first."""
     parts = F.split(host, r"\.")
@@ -189,10 +195,12 @@ def domain_block_filter(pages: DataFrame, blocklist: DataFrame, *,
 
     ``strategy='literal'`` (default): the blocklist is collected to a
     literal array and the gate is one map-side ``arrays_overlap`` filter —
-    ZERO shuffles, zero joins; the corpus is scanned once.  The collect is
-    bounded by contract: production blocklists are human-curated (10^3-10^5
-    domains), the same boundedness class as broadcast query/centroid
-    matrices elsewhere in this engine.
+    ZERO shuffles, zero joins; the corpus is scanned once.  NOTE the
+    collect is a driver action that runs at PLAN-BUILD time (not at
+    execution), freezing the blocklist snapshot when this function is
+    called.  It is guarded: a blocklist over ``LITERAL_BLOCKLIST_CAP``
+    rows automatically falls back to ``strategy='join'`` (same verdicts,
+    broadcast-join plan) instead of inlining an unbounded literal.
 
     ``strategy='join'``: for blocklists too large to inline — suffix
     explode -> broadcast semi-join -> distinct blocked ids -> one id-keyed
@@ -201,12 +209,16 @@ def domain_block_filter(pages: DataFrame, blocklist: DataFrame, *,
     alone, never on wide page payloads."""
     host = F.substring_index(canonical_url_col(F.col(url_col)), "/", 1)
     if strategy == "literal":
-        doms = sorted({r["domain"] for r in
-                       blocklist.select("domain").collect()})
-        arr = F.array([F.lit(d) for d in doms]) if doms \
-            else F.array().cast("array<string>")
-        hit = F.arrays_overlap(host_suffixes_col(host), arr)
-        return pages.filter(~hit if keep else hit)
+        probe = blocklist.select("domain") \
+            .limit(LITERAL_BLOCKLIST_CAP + 1).collect()
+        if len(probe) > LITERAL_BLOCKLIST_CAP:
+            strategy = "join"  # oversized for a literal — broadcast-join it
+        else:
+            doms = sorted({r["domain"] for r in probe})
+            arr = F.array([F.lit(d) for d in doms]) if doms \
+                else F.array().cast("array<string>")
+            hit = F.arrays_overlap(host_suffixes_col(host), arr)
+            return pages.filter(~hit if keep else hit)
     cand = (pages.select(id_col, F.explode(host_suffixes_col(host))
                          .alias("__d")))
     blocked_ids = (cand.join(
@@ -248,6 +260,50 @@ def url_path_sql(url_expr: str) -> str:
     return f"(CASE WHEN {rest} = '' THEN '/' ELSE {rest} END)"
 
 
+def _host_path_frame(pages: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """(id, __h, __p): canonical host + raw path, STAGED so the shared
+    scheme-split / query-cut intermediate is computed once.
+
+    Inlining ``canonical_url_col`` and ``url_path_col`` side by side
+    duplicates the whole scheme/cut/host chain inside one projection;
+    Catalyst's collapsed projection then re-inlines it per reference and
+    the generated sort/filter method blows janino's 64 KB limit (Spark
+    falls back to interpreted execution for the stage).  Here each select
+    aliases a non-cheap sub-result that the NEXT select references more
+    than once — CollapseProject keeps multi-referenced non-cheap aliases
+    un-inlined, so the expression tree stays linear and the stage
+    compiles.  Semantics are identical: __h equals
+    ``substring_index(canonical_url_col(url), '/', 1)`` and __p equals
+    ``url_path_col(url)`` (pinned by test)."""
+    u = F.col("__u")
+    pos = F.locate("://", u)
+    s = pages.select(F.col(id_col), F.col(url_col).alias("__u"))
+    s = s.select(id_col,
+                 F.when(pos > 0, u.substr(pos + F.lit(3), F.length(u)))
+                 .otherwise(u).alias("__af"))
+    s = s.select(id_col,
+                 F.substring_index(F.substring_index("__af", "?", 1), "#", 1)
+                 .alias("__cut"))
+    s = s.select(id_col, "__cut",
+                 F.substring_index("__cut", "/", 1).alias("__rh"))
+    rest = F.col("__cut").substr(F.length("__rh") + F.lit(1),
+                                 F.length("__cut"))
+    s = s.select(id_col, F.lower("__rh").alias("__hl"), rest.alias("__rest"))
+    hl = F.col("__hl")
+    host = F.when(hl.startswith("www."),
+                  hl.substr(F.lit(5), F.length(hl))).otherwise(hl)
+    path = F.when(F.col("__rest") == "", F.lit("/")) \
+        .otherwise(F.col("__rest"))
+    # coalesce makes both outputs non-nullable, so a downstream join can't
+    # infer an IsNotNull(__h/__p) constraint — that inferred filter is what
+    # pushed below these projections, substituting every alias back in and
+    # regrowing the 64 KB expression this staging exists to avoid.  A NULL
+    # url maps to host '' / path '/', which matches no rule: same verdict
+    # (allowed) as the inner join dropping the NULL key.
+    return s.select(id_col, F.coalesce(host, F.lit("")).alias("__h"),
+                    F.coalesce(path, F.lit("/")).alias("__p"))
+
+
 def robots_verdicts(pages: DataFrame, rules: DataFrame, *,
                     id_col: str = "doc_id",
                     url_col: str = "url") -> DataFrame:
@@ -255,14 +311,18 @@ def robots_verdicts(pages: DataFrame, rules: DataFrame, *,
     (host, prefix, allow) — longest matching prefix wins, ties break
     toward allow, hosts without rules are allowed.
 
+    Rules-table contract: ``prefix`` matches against the URL's PATH with
+    the query string and fragment stripped (a pre-parsed rule like
+    ``Disallow: /search?`` therefore never matches — RFC 9309 matches
+    path+query, and this engine's documented deviation is that rules are
+    path-only; encode query-sensitive policies as path prefixes).
+
     Shape: broadcast the (small, pre-parsed) rules table, host-keyed join +
     prefix filter, then the winning rule per page via one window over the
     MATCHED relation only (bounded by rules-per-host, not corpus size),
     and a left join back onto page ids for the no-rule default."""
     from pyspark.sql import Window
-    host = F.substring_index(canonical_url_col(F.col(url_col)), "/", 1)
-    pp = pages.select(id_col, host.alias("__h"),
-                      url_path_col(F.col(url_col)).alias("__p"))
+    pp = _host_path_frame(pages, id_col, url_col)
     r = rules.select(F.col("host").alias("__h"), "prefix", "allow")
     m = (pp.join(F.broadcast(r), "__h")
          .filter(F.col("__p").startswith(F.col("prefix"))))

@@ -788,8 +788,8 @@ def test_arrow_twins_empty_query_set(spark, sf_dir):
 
 def test_repetition_signals_planted_cases(spark):
     rows = [
-        # doc 1: 3 lines, "same" twice -> 2 dup instances, 8 dup chars;
-        # top bigram "a b" appears twice in "a b c a b"
+        # doc 1: 3 lines, "same" twice -> 1 NON-FIRST dup instance (Gopher
+        # freq-1 counting), 4 dup chars; top bigram "a b" appears twice
         (1, "same\na b c a b\nsame"),
         # doc 2: no repetition anywhere
         (2, "one\ntwo three four"),
@@ -801,14 +801,14 @@ def test_repetition_signals_planted_cases(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in TX.repetition_signals(df).collect()}
     r1 = got[1]
-    assert (r1["n_lines"], r1["n_dup_lines"], r1["dup_line_chars"]) == (3, 2, 8)
-    # 2 of 3 lines are duplicates -> the 30% line gate fires
+    assert (r1["n_lines"], r1["n_dup_lines"], r1["dup_line_chars"]) == (3, 1, 4)
+    # 1 of 3 lines is a non-first duplicate -> the 30% line gate fires
     assert r1["top_bigram_count"] == 2 and r1["repetitive"]
     r2 = got[2]
     assert r2["n_dup_lines"] == 0 and r2["top_bigram_count"] == 1
     assert not r2["repetitive"]
     r3 = got[3]
-    assert (r3["n_lines"], r3["n_dup_lines"]) == (4, 4) and r3["repetitive"]
+    assert (r3["n_lines"], r3["n_dup_lines"]) == (4, 3) and r3["repetitive"]
     # "x y" the bigram only exists within lines (newline breaks token
     # adjacency? no — tokens_col splits on ALL whitespace incl. newline,
     # so "y x" cross-line bigrams exist too); top is "x y" with 4

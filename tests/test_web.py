@@ -214,3 +214,51 @@ def test_url_path_col_extraction(spark):
     got = [r["p"] for r in
            df.select(W.url_path_col(F.col("url")).alias("p")).collect()]
     assert got == ["/a/b", "/", "/x", "/"]
+
+
+def test_host_path_frame_matches_column_builders(spark):
+    """__h/__p staging is semantics-neutral: equals substring_index(
+    canonical_url_col, '/', 1) and url_path_col on adversarial URLs."""
+    rows = [(i, u) for i, u in enumerate([
+        "http://WWW.Ex.com/A/b?x=1#f", "https://ex.com", "ex.com/x/",
+        "http://ex.com?utm=1", "http://ex.com/p#frag",
+        "http://ex.com/a://b", "www.ex.com", "http://ex.com//",
+    ])]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    staged = {r["doc_id"]: (r["__h"], r["__p"])
+              for r in W._host_path_frame(pages, "doc_id", "url").collect()}
+    direct = {r["doc_id"]: (r["h"], r["p"]) for r in pages.select(
+        "doc_id",
+        F.substring_index(W.canonical_url_col(F.col("url")), "/", 1)
+        .alias("h"),
+        W.url_path_col(F.col("url")).alias("p")).collect()}
+    assert staged == direct
+
+
+def test_robots_verdicts_plan_stays_staged(spark):
+    """The inferred join filters must NOT push below the staged url
+    projections: that re-inlines every alias multiplicatively and blew the
+    64 KB janino method limit (round-6 codegen fallback).  Pin: the scheme
+    probe appears a bounded number of times in the optimized plan."""
+    rules = spark.createDataFrame([("ex.com", "/a", False)],
+                                  "host string, prefix string, allow boolean")
+    pages = spark.createDataFrame([(1, "http://ex.com/a")],
+                                  "doc_id long, url string")
+    plan = W.robots_verdicts(pages, rules) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("locate(://") <= 2, plan
+    assert "__cut" in plan
+
+
+def test_domain_block_filter_oversized_list_falls_back_to_join(spark, monkeypatch):
+    monkeypatch.setattr(W, "LITERAL_BLOCKLIST_CAP", 1)
+    pages = spark.createDataFrame(
+        [(1, "http://a.bad.com/x"), (2, "http://ok.com/y")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("bad.com",), ("worse.com",)],
+                               "domain string")
+    kept = W.domain_block_filter(pages, bl)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    # over the cap the literal array must NOT appear in the plan
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "arrays_overlap" not in plan

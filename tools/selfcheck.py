@@ -42,6 +42,38 @@ def norm(v):
     return ("o", str(v))
 
 
+#: DuckDB output types the driver's hasher represents differently from
+#: Spark even when every value is equal (int128 sums from un-cast
+#: SUM(BIGINT) were the round-6 regression).  An oracle must never emit one.
+BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lint_oracle_types(con, sql, spark_schema=None):
+    """Lint one oracle's *output types* without executing it.
+
+    Returns a list of error strings.  HUGEINT/UHUGEINT columns are always
+    errors (cast the aggregate to BIGINT).  When ``spark_schema`` is given,
+    a DECIMAL oracle column whose same-named Spark column is not DecimalType
+    is also an error — both classes make the driver's type-sensitive hash
+    diverge on value-identical results.
+    """
+    rel = con.sql(sql)
+    errs = []
+    spark_is_dec = None
+    if spark_schema is not None:
+        from pyspark.sql.types import DecimalType
+        spark_is_dec = {f.name: isinstance(f.dataType, DecimalType)
+                        for f in spark_schema.fields}
+    for cname, ctype in zip(rel.columns, rel.types):
+        t = str(ctype).upper()
+        if any(b in t for b in BAD_ORACLE_TYPES):
+            errs.append(f"{cname}: oracle type {t} (cast the SUM to BIGINT)")
+        elif (t.startswith("DECIMAL") and spark_is_dec is not None
+              and not spark_is_dec.get(cname, False)):
+            errs.append(f"{cname}: oracle {t} but Spark column is not decimal")
+    return errs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -71,6 +103,11 @@ def main():
             print(f"ok   {name}: rows-only ({len(rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
+            lint = lint_oracle_types(con, oracles[name], df.schema)
+            if lint:
+                failures.append(name)
+                print(f"FAIL {name}: oracle type lint: {lint}")
+                continue
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
