@@ -1269,6 +1269,211 @@ SELECT doc_id,
 FROM px ORDER BY doc_id"""
 
 
+# --- codec-free REAL media decode (BMP / PGM / WAV-PCM) ----------------------
+# deterministic binary corpus: doc_id % 4 picks BMP / PGM / WAV / raw with
+# format-complete payloads (BMP row padding, PGM comment headers, a WAV
+# LIST chunk before data).  The Spark side runs the real NumPy decoders
+# over the binary; the oracle — knowing the generative formula — computes
+# every integer statistic in closed form.  Agreement requires the decoder
+# to invert the encoder exactly (padding skipped, chunks walked, signed
+# samples decoded).
+
+def _media_decode_payload_col():
+    d = F.col("doc_id")
+
+    def b2h(c):
+        return F.lpad(F.lower(F.hex(F.pmod(c, F.lit(256)))), 2, "0")
+
+    def idiv(c, n):
+        return F.floor(c / F.lit(n)).cast("long")
+
+    def le16h(c):
+        return F.concat(b2h(c), b2h(idiv(c, 256)))
+
+    def le32h(c):
+        return F.concat(b2h(c), b2h(idiv(c, 256)), b2h(idiv(c, 65536)),
+                        b2h(idiv(c, 16777216)))
+
+    # BMP: w 1..5 (3w % 4 covers every stride padding), h 1..3, bottom-up
+    bw, bh = F.pmod(d, F.lit(5)) + 1, F.pmod(d, F.lit(3)) + 1
+    stride = idiv(bw * 3 + 3, 4) * 4
+    psize = bh * stride
+    def bmp_byte(i):
+        o = F.pmod(i, stride)
+        return F.when(o < bw * 3,
+                      F.pmod(d + idiv(i, stride) * 31 + idiv(o, 3) * 7
+                             + F.pmod(o, 3) * 3, F.lit(256))) \
+            .otherwise(F.lit(0xEE))   # pad bytes poisoned: including them
+                                      # in stats breaks the oracle match
+    bmp = F.concat(
+        F.lit("424d"), le32h(psize + 54), F.lit("00000000"), F.lit("36000000"),
+        F.lit("28000000"), le32h(bw), le32h(bh), F.lit("0100"), F.lit("1800"),
+        F.lit("00000000"), le32h(psize), F.lit("00000000" * 4),
+        F.array_join(F.transform(F.sequence(F.lit(0), psize - 1),
+                                 lambda i: b2h(bmp_byte(i))), ""))
+
+    # PGM: header is REAL ASCII (variable-width numbers, a comment line on
+    # half the rows) so the tokenizer is genuinely exercised
+    gw, gh = F.pmod(d, F.lit(7)) + 1, idiv(F.pmod(d, F.lit(12)), 4) + 1
+    ghdr = F.concat(F.lit("P5\n"),
+                    F.when(F.pmod(d, F.lit(8)) == 1, F.lit("# synth\n"))
+                    .otherwise(F.lit("")),
+                    gw.cast("string"), F.lit(" "), gh.cast("string"),
+                    F.lit("\n255\n"))
+    pgm = F.concat(
+        F.lower(F.hex(ghdr)),
+        F.array_join(F.transform(
+            F.sequence(F.lit(0), gw * gh - 1),
+            lambda i: b2h(F.pmod(d * 3 + idiv(i, gw) * 17
+                                 + F.pmod(i, gw) * 5, F.lit(256)))), ""))
+
+    # WAV: PCM16, 1-2 channels, a LIST chunk between fmt and data forces a
+    # real chunk walk; samples are signed LE (u16 formula minus 32768)
+    nch = F.pmod(idiv(d, 4), 2) + 1
+    rate = F.pmod(d, F.lit(100)) + 8000
+    nsamp = (F.pmod(d, F.lit(6)) + 2) * nch
+    listlen = F.pmod(d, F.lit(5)) * 2
+    riff_size = F.lit(4 + 24) + (listlen + 8) + (nsamp * 2 + 8)
+    wav = F.concat(
+        F.lit("52494646"), le32h(riff_size), F.lit("57415645"),
+        F.lit("666d7420"), le32h(F.lit(16)), le16h(F.lit(1)), le16h(nch),
+        le32h(rate), le32h(rate * nch * 2), le16h(nch * 2), le16h(F.lit(16)),
+        F.lit("4c495354"), le32h(listlen),
+        F.substring(F.lit("aa" * 8), F.lit(1), listlen * 2),
+        F.lit("64617461"), le32h(nsamp * 2),
+        F.array_join(F.transform(
+            F.sequence(F.lit(0), nsamp - 1),
+            lambda i: le16h(F.pmod(d * 7 + i * 13, F.lit(65536)))), ""))
+
+    r4 = F.pmod(d, F.lit(4))
+    # raw branch leads with 0xEE: no decoder magic starts with it, so the
+    # 'unknown' verdict is certain (not merely overwhelmingly likely)
+    p_hex = (F.when(r4 == 0, bmp).when(r4 == 1, pgm).when(r4 == 2, wav)
+             .otherwise(F.concat(F.lit("ee"),
+                                 F.substring(F.md5(d.cast("string")), 1, 30))))
+    return F.unhex(p_hex)
+
+
+def q_media_decode(spark, sf_dir):
+    """REAL codec-free decode: BMP/PGM/WAV payloads parsed by the NumPy
+    decoders (padding, comments, chunk walk, signed samples) with every
+    integer pixel/sample statistic checked in closed form."""
+    from polycheck_spark.operators.multimodal import decode_media_basic
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _media_decode_payload_col().alias("payload"))
+    return decode_media_basic(docs).orderBy("doc_id")
+
+
+def _media_decode_oracle() -> str:
+    bmp_byte = ("(doc_id + (i // ((doc_id % 5 + 1) * 3)) * 31"
+                " + ((i % ((doc_id % 5 + 1) * 3)) // 3) * 7"
+                " + (i % 3) * 3) % 256")
+    bmp_list = f"list_transform(range((doc_id % 3 + 1) * (doc_id % 5 + 1) * 3), i -> {bmp_byte})"
+    pgm_byte = ("(doc_id * 3 + (i // (doc_id % 7 + 1)) * 17"
+                " + (i % (doc_id % 7 + 1)) * 5) % 256")
+    pgm_list = f"list_transform(range((doc_id % 7 + 1) * ((doc_id % 12) // 4 + 1)), i -> {pgm_byte})"
+    # two's-complement i16 of the u16 formula value
+    wav_u = "(doc_id * 7 + i * 13) % 65536"
+    wav_val = f"(CASE WHEN {wav_u} < 32768 THEN {wav_u} ELSE {wav_u} - 65536 END)"
+    wav_list = f"list_transform(range((doc_id % 6 + 2) * ((doc_id // 4) % 2 + 1)), i -> {wav_val})"
+
+    def per_fmt(bmp, pgm, wav):
+        return (f"CASE doc_id % 4 WHEN 0 THEN {bmp} WHEN 1 THEN {pgm} "
+                f"WHEN 2 THEN {wav} ELSE NULL END")
+
+    return f"""
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'pgm' WHEN 2 THEN 'wav'
+       ELSE 'unknown' END AS fmt,
+  CAST({per_fmt('doc_id % 5 + 1', 'doc_id % 7 + 1', 'NULL')} AS BIGINT) AS width,
+  CAST({per_fmt('doc_id % 3 + 1', '(doc_id % 12) // 4 + 1', 'NULL')} AS BIGINT) AS height,
+  CAST({per_fmt('3', '1', '(doc_id // 4) % 2 + 1')} AS BIGINT) AS channels,
+  CAST({per_fmt('NULL', 'NULL', 'doc_id % 100 + 8000')} AS BIGINT) AS sample_rate,
+  CAST({per_fmt(f'len({bmp_list})', f'len({pgm_list})', f'len({wav_list})')} AS BIGINT) AS n_vals,
+  CAST({per_fmt(f'list_sum({bmp_list})', f'list_sum({pgm_list})', f'list_sum({wav_list})')} AS BIGINT) AS val_sum,
+  CAST({per_fmt(f'list_min({bmp_list})', f'list_min({pgm_list})', f'list_min({wav_list})')} AS BIGINT) AS val_min,
+  CAST({per_fmt(f'list_max({bmp_list})', f'list_max({pgm_list})', f'list_max({wav_list})')} AS BIGINT) AS val_max
+FROM documents ORDER BY doc_id"""
+
+
+# --- perceptual image near-dup (dHash + Hamming banding) ---------------------
+# deterministic 9x8 PGM corpus: groups of 8 docs share a base pattern
+# (g = doc_id // 8); each member perturbs ONE pixel by a member-dependent
+# delta, flipping at most 2 dHash comparisons -> a genuine near-dup field
+# with pair distances straddling the Hamming threshold.  Spark decodes the
+# real PGM binary and bands the 64-bit dHash (pigeonhole recall at
+# max_hamming=3); the oracle computes the hash in closed form from the
+# generative formula and verifies the FULL pair set by brute force.
+
+def _image_corpus_payload_col():
+    d = F.col("doc_id")
+    g, m = F.floor(d / 8).cast("long"), F.pmod(d, F.lit(8))
+
+    def b2h(c):
+        return F.lpad(F.lower(F.hex(F.pmod(c, F.lit(256)))), 2, "0")
+
+    def px_byte(i):
+        r, c = F.floor(i / 9).cast("long"), F.pmod(i, F.lit(9))
+        # quadratic in the pixel index i with group-dependent coefficients:
+        # a linear-in-i base is row-constant under the %-wrap often enough
+        # that dHash (within-row comparisons) cancels it and every group
+        # collides — measured 738k pairs at 5k docs vs 27.5k for this form
+        base = F.pmod((g + 1) * (i + 17) * (i + F.pmod(g, F.lit(11)) + 3),
+                      F.lit(200))
+        delta = F.when((r == m) & (c == F.pmod(m * 3, F.lit(9))),
+                       F.pmod(m * 17, F.lit(56))).otherwise(F.lit(0))
+        return base + delta
+
+    hdr = F.lower(F.hex(F.lit("P5\n9 8\n255\n")))
+    return F.unhex(F.concat(hdr, F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(71)),
+                    lambda i: b2h(px_byte(i))), "")))
+
+
+IMG_NEAR_DUP_HAMMING = 3
+
+
+def q_image_near_dup(spark, sf_dir):
+    """Perceptual image near-dup: real PGM decode -> 64-bit dHash ->
+    pigeonhole-banded Hamming pair join, rescored exactly — checked
+    against a brute-force closed-form oracle."""
+    from polycheck_spark.operators.dedup import hamming_near_pairs
+    from polycheck_spark.operators.multimodal import image_dhash
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _image_corpus_payload_col().alias("payload"))
+    sig = image_dhash(docs)
+    return hamming_near_pairs(sig, max_hamming=IMG_NEAR_DUP_HAMMING,
+                              id_col="doc_id", hash_col="dhash", bits=64,
+                              emit_hamming=True).orderBy("a", "b")
+
+
+def _image_near_dup_oracle() -> str:
+    px = ("list_transform(range(72), i -> "
+          "((doc_id // 8 + 1) * (i + 17) * (i + (doc_id // 8) % 11 + 3)) "
+          "% 200"
+          " + CASE WHEN i // 9 = doc_id % 8"
+          " AND i % 9 = (doc_id % 8 * 3) % 9"
+          " THEN (doc_id % 8 * 17) % 56 ELSE 0 END)")
+    # dHash bit j = r*8+c set iff cell[r][c] > cell[r][c+1] (9x8 input =
+    # identity downsample); packed as two 32-bit halves so no SQL value
+    # ever touches the int64 sign bit
+    def half(j0):
+        return (f"CAST(list_sum(list_transform(range(32), j -> CASE WHEN "
+                f"p[((j + {j0}) // 8) * 9 + ((j + {j0}) % 8) + 1] > "
+                f"p[((j + {j0}) // 8) * 9 + ((j + {j0}) % 8) + 2] "
+                f"THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)")
+    return f"""
+WITH px AS (SELECT doc_id, {px} AS p FROM documents),
+hb AS (SELECT doc_id, {half(0)} AS lo, {half(32)} AS hi FROM px)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS INT)
+         AS hamming
+FROM hb x JOIN hb y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+      <= {IMG_NEAR_DUP_HAMMING}
+ORDER BY a, b"""
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % 25 == 0)
@@ -1877,6 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_capped": q_minhash_lsh_capped,
         "simhash_pairs_wide": q_simhash_pairs_wide,
         "media_dimensions": q_media_dimensions,
+        "media_decode": q_media_decode,
+        "image_near_dup": q_image_near_dup,
         "boilerplate_strip": q_boilerplate_strip,
         "hot_lines": q_hot_lines,
         "url_dedup": q_url_dedup,
@@ -2032,6 +2239,8 @@ SELECT a, b FROM ({D.simhash_near_pairs_sql('docs_both', SIMHASH_PAIR_HAMMING,
                                             bits=SIMHASH_WIDE_BITS)})
 ORDER BY a, b""",
         "media_dimensions": _media_dimensions_oracle(),
+        "media_decode": _media_decode_oracle(),
+        "image_near_dup": _image_near_dup_oracle(),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

@@ -354,20 +354,45 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, *,
     """
     if not 0 <= max_hamming < bits:
         raise ValueError("need 0 <= max_hamming < bits")
-    sig = simhash(docs, id_col=id_col, text_col=text_col,
-                  bits=bits).localCheckpoint(eager=False)
+    sig = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    return hamming_near_pairs(sig, max_hamming=max_hamming, id_col="id",
+                              hash_col="simhash", bits=bits,
+                              max_band_freq=max_band_freq)
+
+
+def hamming_near_pairs(sig: DataFrame, *, max_hamming: int = 3,
+                       id_col: str = "id", hash_col: str = "simhash",
+                       bits: int = SIMHASH_BITS,
+                       max_band_freq: int | None = None,
+                       emit_hamming: bool = False) -> DataFrame:
+    """(a, b[, hamming]) pairs of rows of a precomputed signature frame
+    whose ``hash_col`` values differ in <= ``max_hamming`` bits — the
+    signature-agnostic core of :func:`simhash_near_pairs`, reused by any
+    64-bit-or-narrower fingerprint (text simhash, image dHash, ...).
+
+    Same pigeonhole-banding design and scale contract as
+    :func:`simhash_near_pairs` (that docstring is the reference); this
+    entry point exists so non-text fingerprints share one audited join
+    instead of reimplementing banding.  ``bits`` may be 64 here (dHash):
+    band extraction uses unsigned shifts, so the sign bit is just bit 63.
+    """
+    if not 0 <= max_hamming < bits <= 64:
+        raise ValueError("need 0 <= max_hamming < bits <= 64")
+    sig = (sig.select(F.col(id_col).alias("id"),
+                      F.col(hash_col).cast("long").alias("h"))
+           .filter(F.col("h").isNotNull())
+           .localCheckpoint(eager=False))
     nb = max_hamming + 1
     width = bits // nb
     structs = []
     for b in range(nb):
         lo = b * width
         w = width if b < nb - 1 else bits - lo
-        val = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
-            F.lit((1 << w) - 1))
+        val = F.shiftrightunsigned(F.col("h"), lo).bitwiseAND(
+            F.lit((1 << w) - 1) if w < 64 else F.lit(-1))
         structs.append(F.struct(F.lit(b).alias("band"), val.alias("bval")))
-    banded = (sig.select("id", "simhash",
-                         F.explode(F.array(*structs)).alias("bb"))
-              .select("id", "simhash", F.col("bb.band").alias("band"),
+    banded = (sig.select("id", "h", F.explode(F.array(*structs)).alias("bb"))
+              .select("id", "h", F.col("bb.band").alias("band"),
                       F.col("bb.bval").alias("bval")))
     if max_band_freq is not None:
         cool = (banded.groupBy("band", "bval")
@@ -375,12 +400,14 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, *,
                 .filter(F.col("bf") <= max_band_freq).select("band", "bval"))
         banded = banded.join(cool, ["band", "bval"], "left_semi")
     x, y = banded.alias("x"), banded.alias("y")
-    return (x.join(y, ["band", "bval"])
-            .filter(F.col("x.id") < F.col("y.id"))
-            .filter(F.bit_count(F.col("x.simhash").bitwiseXOR(
-                F.col("y.simhash"))) <= max_hamming)
-            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-            .distinct())
+    ham = F.bit_count(F.col("x.h").bitwiseXOR(F.col("y.h")))
+    pairs = (x.join(y, ["band", "bval"])
+             .filter(F.col("x.id") < F.col("y.id"))
+             .filter(ham <= max_hamming))
+    cols = [F.col("x.id").alias("a"), F.col("y.id").alias("b")]
+    if emit_hamming:
+        cols.append(ham.cast("int").alias("hamming"))
+    return pairs.select(*cols).distinct()
 
 
 def simhash_near_pairs_sql(table: str, max_hamming: int = 3,

@@ -2,13 +2,19 @@
 
 Media travel as opaque ``binary`` columns with typed metadata. The Spark-side
 plumbing — schemas, Arrow batch shapes, ``mapInPandas`` signatures,
-partitioning — is real and tested; the actual codec step is STUBBED because
-no image/audio libraries exist in this container:
+partitioning — is real and tested.  Decode comes in two tiers:
 
-* ``decode_media(..., strict=True)`` raises NotImplementedError at call time
-  (the documented production hook — plug Pillow/ffmpeg there);
-* ``strict=False`` substitutes a deterministic fake decode (byte-histogram
-  features) so downstream feature plumbing is exercisable end-to-end.
+* ``decode_media_basic`` — REAL decode for the codec-free format slice:
+  uncompressed BMP, binary PGM/PPM, and WAV PCM parse in pure NumPy
+  (headers, row padding, RIFF chunk walk, signed samples), emitting
+  integer pixel/sample statistics that a DuckDB oracle checks exactly.
+* compressed codecs (JPEG/PNG pixel data, MP3, video) are STUBBED because
+  no image/audio libraries exist in this container:
+  ``decode_media(..., strict=True)`` raises NotImplementedError at call
+  time (the documented production hook — plug Pillow/ffmpeg there);
+  ``strict=False`` substitutes a deterministic fake decode
+  (byte-histogram features) so downstream feature plumbing is
+  exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -251,3 +257,224 @@ def frame_sample_plan(df: DataFrame, *, every_n: int = 10,
     n_frames = (F.length(F.col(payload_col)) / F.lit(1024)).cast("int") + 1
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select(F.col(key_col).alias("url"), F.explode(idx).alias("frame_idx"))
+
+
+# --- codec-free REAL decode: BMP / PGM / PPM / WAV-PCM -----------------------
+# Uncompressed formats need no codec library: their pixel/sample payloads are
+# raw bytes behind a fixed-arithmetic header.  These decoders are genuine
+# format parsers (header fields, row padding, RIFF chunk walk) in pure
+# NumPy, running inside the same mapInPandas plumbing the strict-mode codec
+# stub documents — which retires the stub for this format slice.  All
+# emitted statistics are integers, so a DuckDB oracle over formula-known
+# payloads checks them exactly.
+
+def _decode_bmp(b: bytes):
+    """24-bpp uncompressed (BI_RGB) BITMAPINFOHEADER BMP -> pixel stats.
+    Handles the 4-byte row stride padding and bottom-up row order (padding
+    bytes are excluded from stats; orientation doesn't change them but the
+    slice must still skip the pad)."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if hdr_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    ah = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off < 54 or len(b) < off + stride * ah:
+        return None
+    rows = np.frombuffer(b, np.uint8, stride * ah, off).reshape(ah, stride)
+    px = rows[:, :w * 3]
+    if h > 0:                       # positive height = bottom-up storage
+        px = px[::-1]
+    return {"fmt": "bmp", "width": w, "height": ah, "channels": 3,
+            "sample_rate": None, "vals": px.reshape(-1).astype(np.int64)}
+
+
+def _decode_pnm(b: bytes):
+    """Binary PGM (P5) / PPM (P6), maxval <= 255 -> pixel stats.  Real
+    header tokenizer: arbitrary whitespace between fields and '#' comments
+    through end-of-line, exactly one whitespace byte before the raster."""
+    if b[:2] not in (b"P5", b"P6"):
+        return None
+    i, fields = 2, []
+    while len(fields) < 3 and i < len(b):
+        while i < len(b) and b[i:i + 1] in b" \t\r\n":
+            i += 1
+        if i < len(b) and b[i:i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and b[j:j + 1] not in b" \t\r\n#":
+            j += 1
+        if j == i or not b[i:j].isdigit():
+            return None
+        fields.append(int(b[i:j]))
+        i = j
+    if len(fields) < 3 or i >= len(b):
+        return None
+    i += 1                          # the single post-maxval whitespace byte
+    w, h, maxval = fields
+    ch = 3 if b[:2] == b"P6" else 1
+    n = w * h * ch
+    if w <= 0 or h <= 0 or maxval > 255 or len(b) < i + n:
+        return None
+    vals = np.frombuffer(b, np.uint8, n, i)
+    return {"fmt": "ppm" if ch == 3 else "pgm", "width": w, "height": h,
+            "channels": ch, "sample_rate": None,
+            "vals": vals.astype(np.int64)}
+
+
+def _decode_wav(b: bytes):
+    """RIFF/WAVE PCM (8/16-bit) -> sample stats.  Real chunk walk (word
+    alignment, unknown chunks skipped), so a LIST chunk between fmt and
+    data must not break it; 16-bit samples are signed little-endian."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        sz = int.from_bytes(b[i + 4:i + 8], "little")
+        body = b[i + 8:i + 8 + sz]
+        if cid == b"fmt " and fmt is None:
+            fmt = body
+        elif cid == b"data" and data is None:
+            data = body
+        i += 8 + sz + (sz & 1)      # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    nch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or nch < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        vals = np.frombuffer(data, "<i2", len(data) // 2)
+    else:
+        vals = np.frombuffer(data, np.uint8)
+    return {"fmt": "wav", "width": None, "height": None, "channels": nch,
+            "sample_rate": rate, "vals": vals.astype(np.int64)}
+
+
+_BASIC_DECODERS = (_decode_bmp, _decode_pnm, _decode_wav)
+
+_DECODE_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_vals", T.LongType()),
+    T.StructField("val_sum", T.LongType()),
+    T.StructField("val_min", T.LongType()),
+    T.StructField("val_max", T.LongType()),
+])
+
+
+def decode_media_basic(df: DataFrame, *, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Real (non-stub) decode of the codec-free format slice via
+    ``mapInPandas``: BMP / PGM / PPM pixel stats, WAV-PCM sample stats.
+    Unrecognized payloads yield ``fmt='unknown'`` with NULL stats rather
+    than dropping the row (a cleaning pipeline wants to count them).
+
+    Scale shape: one map-side Arrow pass over the corpus, no shuffle, no
+    driver state; per-row work is NumPy over the payload bytes.  Emitted
+    stats are all integers (16-bit WAV sums fit int64 at any realistic
+    clip length), so the differential oracle is exact."""
+    def gen(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _DECODE_STATS_SCHEMA.fields}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                rec = None
+                for dec in _BASIC_DECODERS:
+                    rec = dec(b)
+                    if rec is not None:
+                        break
+                out["doc_id"].append(did)
+                if rec is None:
+                    out["fmt"].append("unknown")
+                    for k in ("width", "height", "channels", "sample_rate",
+                              "n_vals", "val_sum", "val_min", "val_max"):
+                        out[k].append(None)
+                    continue
+                vals = rec["vals"]
+                out["fmt"].append(rec["fmt"])
+                out["width"].append(rec["width"])
+                out["height"].append(rec["height"])
+                out["channels"].append(rec["channels"])
+                out["sample_rate"].append(rec["sample_rate"])
+                out["n_vals"].append(len(vals))
+                out["val_sum"].append(int(vals.sum()) if len(vals) else 0)
+                out["val_min"].append(int(vals.min()) if len(vals) else None)
+                out["val_max"].append(int(vals.max()) if len(vals) else None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=_DECODE_STATS_SCHEMA)
+
+
+# --- perceptual image fingerprint (dHash) ------------------------------------
+
+def _dhash64(gray: np.ndarray) -> int:
+    """64-bit difference hash of a grayscale image (int array, h x w,
+    h >= 8 and w >= 9): box-downsample to 8 x 9 with integer floor means,
+    then bit j = r*8+c is set iff cell[r][c] > cell[r][c+1].  Returned as
+    the signed-int64 view of the packed bits (bit 63 = last comparison)."""
+    H, W = gray.shape
+    rb = [(r * H) // 8 for r in range(9)]
+    cb = [(c * W) // 9 for c in range(10)]
+    cells = np.empty((8, 9), np.int64)
+    for r in range(8):
+        for c in range(9):
+            box = gray[rb[r]:rb[r + 1], cb[c]:cb[c + 1]]
+            cells[r, c] = int(box.sum()) // box.size
+    bits = (cells[:, :-1] > cells[:, 1:]).reshape(-1)
+    v = 0
+    for j in np.flatnonzero(bits):
+        v |= 1 << int(j)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(df: DataFrame, *, payload_col: str = "payload",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dhash): perceptual fingerprint of codec-free-decodable
+    images (BMP / PGM / PPM).  RGB collapses to integer-mean grayscale
+    ((r+g+b) // 3); images smaller than the 9 x 8 dHash grid, audio, and
+    undecodable payloads yield NULL (excluded from pairing).
+
+    Everything is integer arithmetic, so the hash is bit-deterministic
+    across engines and platforms — pair it with
+    :func:`~polycheck_spark.operators.dedup.hamming_near_pairs` (bits=64)
+    for the perceptual near-dup join.  One map-side Arrow pass, no
+    shuffle, no driver state."""
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("dhash", T.LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                rec = _decode_bmp(b) or _decode_pnm(b)
+                h = None
+                if rec is not None:
+                    w, ht, ch = rec["width"], rec["height"], rec["channels"]
+                    if w >= 9 and ht >= 8:
+                        px = rec["vals"].reshape(ht, w, ch)
+                        gray = px[:, :, 0] if ch == 1 \
+                            else px.sum(axis=2) // 3
+                        h = _dhash64(gray)
+                ids.append(did)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
