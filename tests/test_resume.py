@@ -358,3 +358,70 @@ def test_pagerank_job_iteration_resume_and_refinement(spark, tmp_path):
     # web-shape change invalidates: different host count -> fresh lineage
     out2 = pr_run(spark, clean, pages, hosts + 2, 2)
     assert out2["n_hosts"] == hosts + 2
+
+
+def test_train_export_job_end_to_end_and_resumable(spark, tmp_path):
+    """The dataloader handoff: cleaned corpus packed into fixed-budget bins
+    and exported as sharded parquet.  Layout invariants hold (per-group
+    start_offs are the exclusive prefix sums of token counts in doc_key
+    order; every cleaned doc exported exactly once; bins shard-complete),
+    and a job killed between shards OR inside the inner cleaning job
+    resumes to the byte-identical export."""
+    from polycheck_spark.jobs.train_export_job import run_job as export_run
+
+    def export_rows(out_dir):
+        return sorted(tuple(r) for r in
+                      spark.read.parquet(f"{out_dir}/export/bucket=*")
+                      .collect())
+
+    out = str(tmp_path / "tx")
+    res = export_run(spark, 3000, 4, out, budget=64, n_shards=4)
+    export = spark.read.parquet(f"{out}/export/bucket=*").localCheckpoint()
+
+    # every cleaned doc exported exactly once
+    clean = spark.read.parquet(res["clean"]["final_dir"])
+    assert export.count() == clean.count() == res["n_docs"]
+    assert export.select("doc_key").distinct().count() == clean.count()
+
+    # layout invariant: within each (lang, pack_shard), start_off is the
+    # exclusive prefix sum of n_tokens in doc_key order
+    rows = export.select("lang", "pack_shard", "doc_key", "n_tokens",
+                         "start_off", "bin_id", "end_bin").collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault((r["lang"], r["pack_shard"]), []).append(r)
+    for grp in by_grp.values():
+        grp.sort(key=lambda r: r["doc_key"])
+        off = 0
+        for r in grp:
+            assert r["start_off"] == off
+            assert r["bin_id"] == off // 64
+            assert r["end_bin"] == (off + max(r["n_tokens"] - 1, 0)) // 64
+            off += r["n_tokens"]
+    # lineage row counts cover the whole export
+    lineage = res["export_snapshot"]["row_counts"]
+    assert sum(int(v) for v in lineage.values()) == res["n_docs"]
+    assert res["n_bins"] > 1
+
+    # kill between export shards -> resume -> byte-identical export
+    out2 = str(tmp_path / "tx2")
+    with pytest.raises(RuntimeError):
+        export_run(spark, 3000, 4, out2, budget=64, n_shards=4,
+                   fail_on=lambda k: k == 2)
+    res2 = export_run(spark, 3000, 4, out2, budget=64, n_shards=4)
+    assert export_rows(out2) == export_rows(out)
+    assert 2 in res2["export_run"]["processed"]
+    assert len(res2["export_run"]["skipped"]) == 2
+
+    # kill inside the INNER cleaning job -> nested resume -> identical
+    out3 = str(tmp_path / "tx3")
+    with pytest.raises(RuntimeError):
+        export_run(spark, 3000, 4, out3, budget=64, n_shards=4,
+                   clean_fail_on=lambda k: k == 1)
+    res3 = export_run(spark, 3000, 4, out3, budget=64, n_shards=4)
+    assert export_rows(out3) == export_rows(out)
+    assert 1 in res3["clean"]["phase1"]["run"]["processed"]
+
+    # a budget change re-stages and re-exports (param-sensitive lineage)
+    res4 = export_run(spark, 3000, 4, out, budget=32, n_shards=4)
+    assert res4["n_bins"] > res["n_bins"]
