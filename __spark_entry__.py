@@ -2023,69 +2023,29 @@ def q_distinct_tiles_per_lang(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (r6): the driver records a per-round PREFIX of this
-    # dict (r1: 30, r2: 40, r3/r4: 50, r5: 50 rows), so the goal is that
-    # every entry's MOST RECENT driver-recorded green row stays at most two
-    # rounds old.  The head holds this round's 17 new queries plus the 18
-    # entries whose newest record is r1-r4 (the 5 that sat past r5's cut
-    # and the 13 pytest-pinned tail entries); everything r5 recorded
-    # follows in its previous relative order, heaviest twins last.
+    # Ordering policy (r7): the driver records a per-round PREFIX of this
+    # dict, so every entry's MOST RECENT driver-recorded green row must stay
+    # at most two rounds old.  Head: the 3 never-green rows (HUGEINT oracle
+    # fix — must land green), the 2 new queries, the rows whose
+    # SEMANTICS/PLAN changed this round (Gopher freq-1 repetition counting,
+    # robots codegen restructure, hamming-join refactor, blocklist cap),
+    # then every entry whose newest record is r5; the r6-recorded remainder
+    # follows in its previous relative order.
     return {
-        # -- new this round --
-        "unigram_quality": q_unigram_quality,
-        "dedup_verified_clusters": q_dedup_verified_clusters,
-        "html_extract": q_html_extract,
-        "decontaminate": q_decontaminate,
-        "pii_redact": q_pii_redact,
+        # -- never-green (oracle type fixed this round) --
         "pii_profile": q_pii_profile,
-        "repetition_signals": q_repetition_signals,
-        "host_links": q_host_links,
-        "pagerank_hosts": q_pagerank_hosts,
         "tile_rank": q_tile_rank,
-        "anchor_terms": q_anchor_terms,
-        "search_topk": q_search_topk,
-        "robots_filter": q_robots_filter,
-        "pack_chunks": q_pack_chunks,
-        "domain_filter": q_domain_filter,
         "web_pipeline": q_web_pipeline,
-        "incremental_dedup": q_incremental_dedup,
-        # -- newest record is r1-r4: rotate into the r6 prefix --
-        "broadcast_join_agg": q_broadcast_join_agg,
-        "events_sessionize": q_events_sessionize,
-        "polygon_quality": q_polygon_quality,
-        "tile_events_hourly": q_tile_events_hourly,
-        "events_json": q_events_json,
-        "pip_join_partitioned": q_pip_join_partitioned,
-        "pip_join_distributed": q_pip_join_distributed,
-        "pip_semi": q_pip_semi,
-        "pip_anti": q_pip_anti,
-        "tile_assignment": q_tile_assignment,
-        "tile_density": q_tile_density,
-        "sample_hash": q_sample_hash,
-        "stratified_sample": q_stratified_sample,
-        "token_counts": q_token_counts,
-        "quality_scores": q_quality_scores,
-        "fingerprints": q_fingerprints,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "window_topk": q_window_topk,
-        # -- recorded green in r5 (keep r5's relative order) --
-        "events_value_stats": q_events_value_stats,
-        "events_cube": q_events_cube,
-        "dedup_apply": q_dedup_apply,
-        "set_ops": q_set_ops,
-        "distinct_tiles_per_lang": q_distinct_tiles_per_lang,
-        "ann_cosine_fast": q_ann_cosine_fast,
-        "ann_lsh_fast": q_ann_lsh_fast,
-        "ann_ivf_fast": q_ann_ivf_fast,
-        "near_dup_fast": q_near_dup_fast,
-        "near_dup_capped": q_near_dup_capped,
-        "minhash_lsh_capped": q_minhash_lsh_capped,
-        "simhash_pairs_wide": q_simhash_pairs_wide,
-        "media_dimensions": q_media_dimensions,
+        # -- new this round --
         "media_decode": q_media_decode,
         "image_near_dup": q_image_near_dup,
-        "boilerplate_strip": q_boilerplate_strip,
-        "hot_lines": q_hot_lines,
+        # -- semantics or plan changed this round: re-record --
+        "repetition_signals": q_repetition_signals,
+        "robots_filter": q_robots_filter,
+        "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_wide": q_simhash_pairs_wide,
+        "domain_filter": q_domain_filter,
+        # -- newest record is r5: rotate into the r7 prefix --
         "url_dedup": q_url_dedup,
         "host_stats": q_host_stats,
         "c4_pipeline": q_c4_pipeline,
@@ -2104,7 +2064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_quant": q_ann_quant,
@@ -2121,6 +2080,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "tile_quantiles": q_tile_quantiles,
         "agg_lineitem": q_agg_lineitem,
+        # -- recorded green in r6 (keep prior relative order) --
+        "unigram_quality": q_unigram_quality,
+        "dedup_verified_clusters": q_dedup_verified_clusters,
+        "html_extract": q_html_extract,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "host_links": q_host_links,
+        "pagerank_hosts": q_pagerank_hosts,
+        "anchor_terms": q_anchor_terms,
+        "search_topk": q_search_topk,
+        "pack_chunks": q_pack_chunks,
+        "incremental_dedup": q_incremental_dedup,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "events_sessionize": q_events_sessionize,
+        "polygon_quality": q_polygon_quality,
+        "tile_events_hourly": q_tile_events_hourly,
+        "events_json": q_events_json,
+        "pip_join_partitioned": q_pip_join_partitioned,
+        "pip_join_distributed": q_pip_join_distributed,
+        "pip_semi": q_pip_semi,
+        "pip_anti": q_pip_anti,
+        "tile_assignment": q_tile_assignment,
+        "tile_density": q_tile_density,
+        "sample_hash": q_sample_hash,
+        "stratified_sample": q_stratified_sample,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "fingerprints": q_fingerprints,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "window_topk": q_window_topk,
+        "events_value_stats": q_events_value_stats,
+        "events_cube": q_events_cube,
+        "dedup_apply": q_dedup_apply,
+        "set_ops": q_set_ops,
+        "distinct_tiles_per_lang": q_distinct_tiles_per_lang,
+        "ann_cosine_fast": q_ann_cosine_fast,
+        "ann_lsh_fast": q_ann_lsh_fast,
+        "ann_ivf_fast": q_ann_ivf_fast,
+        "near_dup_fast": q_near_dup_fast,
+        "near_dup_capped": q_near_dup_capped,
+        "minhash_lsh_capped": q_minhash_lsh_capped,
+        "media_dimensions": q_media_dimensions,
+        "boilerplate_strip": q_boilerplate_strip,
+        "hot_lines": q_hot_lines,
     }
 
 

@@ -202,7 +202,8 @@ def main():
                  "pii_redact", "repetition_signals", "pagerank_hosts",
                  "pack_chunks", "domain_filter", "web_pipeline",
                  "incremental_dedup", "tile_rank", "search_topk",
-                 "robots_filter", "unigram_quality"]:
+                 "robots_filter", "unigram_quality",
+                 "media_decode", "image_near_dup"]:
         best = None
         for _ in range(2):
             t0 = time.time()
