@@ -1474,6 +1474,38 @@ WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
 ORDER BY a, b"""
 
 
+AUDIO_FRAME = 4
+
+
+def q_audio_features(spark, sf_dir):
+    """Codec-free audio features over the WAV slice of the media corpus:
+    real RIFF decode -> integer amplitude/zero-crossing stats, frame
+    count at a small test frame so multi-frame clips exist."""
+    from polycheck_spark.operators.multimodal import audio_features
+    docs = (_docs(spark, sf_dir).filter(F.pmod(F.col("doc_id"), F.lit(4)) == 2)
+            .select("doc_id", _media_decode_payload_col().alias("payload")))
+    return audio_features(docs, frame=AUDIO_FRAME).orderBy("doc_id")
+
+
+def _audio_features_oracle() -> str:
+    wav_u = "(doc_id * 7 + i * 13) % 65536"
+    sv = f"(CASE WHEN {wav_u} < 32768 THEN {wav_u} ELSE {wav_u} - 65536 END)"
+    n = "((doc_id % 6 + 2) * ((doc_id // 4) % 2 + 1))"
+    vals = f"list_transform(range({n}), i -> {sv})"
+    # zero crossing: adjacent samples on opposite sides of zero (>= 0 vs < 0)
+    zc = (f"list_sum(list_transform(range({n} - 1), i -> CASE WHEN "
+          f"({sv} >= 0) <> ((doc_id * 7 + (i + 1) * 13) % 65536 < 32768) "
+          f"THEN 1 ELSE 0 END))")
+    return f"""
+SELECT doc_id,
+  CAST({n} AS BIGINT) AS n_samples,
+  CAST(({n} + {AUDIO_FRAME} - 1) // {AUDIO_FRAME} AS BIGINT) AS n_frames,
+  CAST(list_sum(list_transform({vals}, v -> abs(v))) AS BIGINT) AS sum_abs,
+  CAST(list_max(list_transform({vals}, v -> abs(v))) AS BIGINT) AS peak_abs,
+  CAST(coalesce({zc}, 0) AS BIGINT) AS zero_crossings
+FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id"""
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % 25 == 0)
@@ -2039,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --
         "media_decode": q_media_decode,
         "image_near_dup": q_image_near_dup,
+        "audio_features": q_audio_features,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2244,6 +2277,7 @@ ORDER BY a, b""",
         "media_dimensions": _media_dimensions_oracle(),
         "media_decode": _media_decode_oracle(),
         "image_near_dup": _image_near_dup_oracle(),
+        "audio_features": _audio_features_oracle(),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

@@ -279,3 +279,16 @@ def test_hamming_near_pairs_64bit_equals_brute_force(spark):
         for i, (ia, va) in enumerate(sigs) for ib, vb in sigs[i + 1:]
         if bin((va ^ vb) & mask).count("1") <= 3)
     assert got == exp and len(exp) > 20
+
+
+def test_audio_features_spark_on_reference_wavs(spark):
+    from polycheck_spark.operators.multimodal import audio_features
+    samples = [5, -3, 0, -1, 2, 2]     # zero crossings at 0-1, 1-2, 2-3, 3-4
+    rows = [(1, _ref_wav(1, 8000, samples)), (2, b"\xeenope")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in
+           audio_features(df, frame=4).collect()}
+    r1 = got[1]
+    assert (r1["n_samples"], r1["n_frames"], r1["sum_abs"], r1["peak_abs"],
+            r1["zero_crossings"]) == (6, 2, 13, 5, 4)
+    assert got[2]["n_samples"] is None
