@@ -24,7 +24,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-DOCS = int(os.environ.get("SCALING_MEDIA_DOCS", "2000000"))
+DOCS = int(os.environ.get("SCALING_MEDIA_DOCS", "4000000"))
 REPEATS = int(os.environ.get("SCALING_MEDIA_REPEATS", "2"))
 PRIMARY = (2, 8)
 
@@ -42,13 +42,21 @@ def worker(cpus: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def run_once(n_docs: int):
-        docs = (spark.range(0, n_docs, numPartitions=cpus * 4)
+        # fixed partition count across levels: the comparison must vary
+        # only the executor-thread count, not the task granularity
+        docs = (spark.range(0, n_docs, numPartitions=64)
                 .select(F.col("id").alias("doc_id"),
                         E._media_decode_payload_col().alias("payload")))
+        # dHash input: the 9x8 grouped-perturbation image corpus (the
+        # media_decode corpus' PGMs sit below the dHash grid) at 1/8 the
+        # volume — a CONTIGUOUS id range, so the 8-member perturbation
+        # groups stay intact and the pair join finds real near-dup mass
+        imgs = (spark.range(0, n_docs // 8, numPartitions=64)
+                .select(F.col("id").alias("doc_id"),
+                        E._image_corpus_payload_col().alias("payload")))
         t0 = time.time()
         stats = decode_media_basic(docs)
         n_decoded = stats.filter(F.col("fmt") != "unknown").count()
-        imgs = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 1)
         sig = image_dhash(imgs)
         n_pairs = hamming_near_pairs(
             sig, max_hamming=3, id_col="doc_id", hash_col="dhash",
