@@ -1506,6 +1506,44 @@ SELECT doc_id,
 FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id"""
 
 
+# --- as-of (temporal) join ---------------------------------------------------
+# left: every event; right: per-user "profile snapshots" = every 7th event
+# (deduped per (user, ts)).  Each event picks its user's most recent
+# snapshot at-or-before its timestamp; users with no earlier snapshot stay
+# NULL.  Spark runs the union-tag window carry-forward; DuckDB runs its
+# NATIVE merge-based ASOF LEFT JOIN — two independent implementations of
+# the semantics, integer-exact age in ms.
+
+def q_events_asof(spark, sf_dir):
+    """Backward as-of join of the event stream to per-user snapshots —
+    one shuffle + per-key sort, never a range-join explosion."""
+    from polycheck_spark.operators import temporal as TP
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id", "ts")
+    snaps = (ev.filter(F.col("event_id") % 7 == 0)
+             .groupBy("user_id", "ts")
+             .agg(F.min("event_id").alias("snap_id")))
+    j = TP.asof_join(ev, snaps, on=["user_id"], left_ts="ts",
+                     right_ts="ts", value_cols=["snap_id"])
+    age = (F.unix_millis(F.col("ts").cast("timestamp"))
+           - F.unix_millis(F.col("asof_ts").cast("timestamp")))
+    return (j.select("event_id", "user_id", "snap_id",
+                     age.cast("long").alias("age_ms"))
+            .orderBy("event_id"))
+
+
+def _events_asof_oracle() -> str:
+    return """
+WITH snaps AS (
+  SELECT user_id, ts, MIN(event_id) AS snap_id
+  FROM events WHERE event_id % 7 = 0 GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, r.snap_id,
+       CAST(epoch_ms(l.ts) - epoch_ms(r.ts) AS BIGINT) AS age_ms
+FROM events l ASOF LEFT JOIN snaps r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % 25 == 0)
@@ -2072,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "image_near_dup": q_image_near_dup,
         "audio_features": q_audio_features,
+        "events_asof": q_events_asof,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2278,6 +2317,7 @@ ORDER BY a, b""",
         "media_decode": _media_decode_oracle(),
         "image_near_dup": _image_near_dup_oracle(),
         "audio_features": _audio_features_oracle(),
+        "events_asof": _events_asof_oracle(),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

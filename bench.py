@@ -203,7 +203,8 @@ def main():
                  "pack_chunks", "domain_filter", "web_pipeline",
                  "incremental_dedup", "tile_rank", "search_topk",
                  "robots_filter", "unigram_quality",
-                 "media_decode", "image_near_dup", "audio_features"]:
+                 "media_decode", "image_near_dup", "audio_features",
+                 "events_asof"]:
         best = None
         for _ in range(2):
             t0 = time.time()

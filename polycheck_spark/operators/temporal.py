@@ -1,0 +1,104 @@
+"""Temporal joins: as-of (most-recent-snapshot) matching.
+
+The classic event-to-dimension temporal pattern: every left event picks the
+right row with the GREATEST right timestamp <= the event's timestamp within
+the same key (pandas ``merge_asof(direction='backward')`` / DuckDB ``ASOF
+JOIN`` semantics; ties at equal timestamps match).
+
+Spark-first shape — NO join explosion and no per-key driver loops: the two
+relations are unioned with a side tag, one window per key (ordered by
+``(ts, tag)`` so a right row at the event's exact timestamp sorts first)
+carries the last non-null right payload forward, and the left rows are
+filtered back out.  Cost: ONE hash shuffle on the key plus a per-key sort —
+the same price as the window aggregations elsewhere in this engine, versus
+the range-join explosion (every left row x every earlier right row) a naive
+``l.ts >= r.ts`` join pays.  At 10^12 events the key is the unit of
+parallelism: a single giant key serializes its sort, so callers shard hot
+keys the same way :mod:`.packing` documents (id-derived subkey), which
+preserves correctness per shard when right rows are replicated to each
+shard of their key.
+
+Contract: right rows must be unique per ``(key, right_ts)`` — with
+duplicates, "the most recent row" is ill-defined and engines (and this
+implementation's window order) may tie-break differently.  Dedupe first
+(e.g. keep the min id), as the driver query does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: list[str],
+              tolerance_sec: int | None = None) -> DataFrame:
+    """Backward as-of join: left columns plus, per left row, the
+    ``value_cols`` of the most recent right row (``right_ts <= left_ts``,
+    same ``on`` key) and its timestamp as ``asof_ts``.  No match (or a
+    match older than ``tolerance_sec``) leaves them NULL.
+
+    Output: every left column, then ``asof_ts``, then ``value_cols``.
+    """
+    lcols = left.columns
+    clash = set(value_cols + ["asof_ts"]) & set(lcols)
+    if clash:
+        raise ValueError(f"left columns collide with output names: {clash}")
+    l_side = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"), F.lit(1).alias("__tag"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols])
+    r_side = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in on else F.col(c) for c in lcols],
+        F.col(right_ts).alias("__ts"), F.lit(0).alias("__tag"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols])
+    u = l_side.unionByName(r_side)
+    w = (Window.partitionBy(*on).orderBy("__ts", "__tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        *lcols, "__ts", "__tag",
+        F.last("__rts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
+          for c in value_cols])
+    out = carried.filter(F.col("__tag") == 1).drop("__ts", "__tag")
+    if tolerance_sec is not None:
+        # cast("timestamp") tolerates TIMESTAMP_NTZ inputs (unix_millis does
+        # not); both sides shift identically under the session tz, so the
+        # difference is exact.
+        fresh = (F.unix_millis(F.col(left_ts).cast("timestamp"))
+                 - F.unix_millis(F.col("asof_ts").cast("timestamp"))
+                 <= tolerance_sec * 1000)
+        out = out.select(
+            *lcols,
+            F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
+            *[F.when(fresh, F.col(c)).alias(c) for c in value_cols])
+    return out
+
+
+def asof_join_sql(left_cte: str, right_cte: str, *, on: list[str],
+                  left_ts: str = "ts", right_ts: str = "ts",
+                  value_cols: list[str],
+                  left_cols: list[str],
+                  tolerance_sec: int | None = None) -> str:
+    """DuckDB twin via its native ``ASOF LEFT JOIN`` — a genuinely
+    independent implementation (merge-based in DuckDB vs the window
+    carry-forward here), which is exactly what makes the differential
+    meaningful.  ``left_cols`` lists the left columns to emit."""
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    vsel = ", ".join(f"r.{c}" for c in value_cols)
+    keys = " AND ".join(f"l.{c} = r.{c}" for c in on)
+    core = (f"SELECT {lsel}, r.{right_ts} AS asof_ts, {vsel} "
+            f"FROM ({left_cte}) l ASOF LEFT JOIN ({right_cte}) r "
+            f"ON {keys} AND l.{left_ts} >= r.{right_ts}")
+    if tolerance_sec is None:
+        return core
+    fresh = (f"epoch_ms({left_ts}) - epoch_ms(asof_ts) "
+             f"<= {tolerance_sec} * 1000")
+    gated = ", ".join(
+        f"CASE WHEN {fresh} THEN {c} END AS {c}"
+        for c in ["asof_ts"] + list(value_cols))
+    return (f"SELECT {', '.join(left_cols)}, {gated} FROM ({core})")

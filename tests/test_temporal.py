@@ -1,0 +1,100 @@
+"""as-of join semantics: backward match, exact-ts tie, NULL miss, tolerance.
+
+Small hand-built frames where the expected assignment is obvious by eye;
+the driver query (`events_asof`) differentials the same operator against
+DuckDB's native ASOF LEFT JOIN at 10k rows.
+"""
+
+import datetime as dt
+
+import pytest
+
+from polycheck_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(5)),   # after snaps at 2 and 4 -> snap 40
+         (2, "a", _ts(4)),   # exactly at snap ts 4 -> snap 40 (tie matches)
+         (3, "a", _ts(1)),   # before every snap -> NULL
+         (4, "b", _ts(9)),   # key with one early snap -> snap 70
+         (5, "c", _ts(3))],  # key with no snaps -> NULL
+        "event_id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(2), 20), ("a", _ts(4), 40), ("b", _ts(1), 70)],
+        "k string, ts timestamp, snap long")
+    return left, right
+
+
+def _collect(df):
+    return {r.event_id: (r.asof_ts, r.snap)
+            for r in df.select("event_id", "asof_ts", "snap").collect()}
+
+
+def test_backward_match_tie_and_miss(frames):
+    left, right = frames
+    out = _collect(asof_join(left, right, on=["k"], left_ts="ts",
+                             right_ts="ts", value_cols=["snap"]))
+    assert out[1] == (_ts(4), 40)
+    assert out[2] == (_ts(4), 40)      # equal timestamps match
+    assert out[3] == (None, None)      # no earlier snapshot
+    assert out[4] == (_ts(1), 70)
+    assert out[5] == (None, None)      # key absent from right
+    # left row count and columns preserved
+    assert len(out) == 5
+
+
+def test_tolerance_nulls_stale_matches(frames):
+    left, right = frames
+    out = _collect(asof_join(left, right, on=["k"], left_ts="ts",
+                             right_ts="ts", value_cols=["snap"],
+                             tolerance_sec=2))
+    assert out[1] == (_ts(4), 40)      # age 1s <= 2s: kept
+    assert out[2] == (_ts(4), 40)      # age 0s: kept
+    assert out[4] == (None, None)      # age 8s > 2s: nulled
+    assert out[3] == (None, None) and out[5] == (None, None)
+
+
+def test_output_name_collision_raises(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("snap", left.event_id), right,
+                  on=["k"], left_ts="ts", right_ts="ts",
+                  value_cols=["snap"])
+
+
+def test_matches_duckdb_asof_on_random_data(spark, tmp_path):
+    """Differential vs DuckDB's merge-based ASOF LEFT JOIN on 2k random
+    events / 300 snapshots across 40 keys (independent implementations)."""
+    duckdb = pytest.importorskip("duckdb")
+    ev = spark.range(2000).selectExpr(
+        "id AS event_id", "CAST(id % 40 AS long) AS k",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,"
+        "CAST((id * 2654435761) % 86400 AS int)) AS ts")
+    sn = spark.range(300).selectExpr(
+        "CAST(id % 40 AS long) AS k",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,"
+        "CAST((id * 40503) % 86400 AS int)) AS ts",
+        "id AS snap").groupBy("k", "ts").agg({"snap": "min"}) \
+        .withColumnRenamed("min(snap)", "snap")
+    ep, sp = str(tmp_path / "ev.parquet"), str(tmp_path / "sn.parquet")
+    ev.write.parquet(ep)
+    sn.write.parquet(sp)
+    got = sorted(
+        tuple(r) for r in
+        asof_join(ev, sn, on=["k"], left_ts="ts", right_ts="ts",
+                  value_cols=["snap"])
+        .select("event_id", "asof_ts", "snap").collect())
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(
+        f"SELECT l.event_id, r.ts, r.snap "
+        f"FROM read_parquet('{ep}/*.parquet') l "
+        f"ASOF LEFT JOIN read_parquet('{sp}/*.parquet') r "
+        f"ON l.k = r.k AND l.ts >= r.ts").fetchall()))
+    con.close()
+    assert got == want
