@@ -366,6 +366,24 @@ def q_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+LANG_MIX_RATE = (8, 1)
+
+
+def q_lang_mix(spark, sf_dir):
+    """Temperature-flattened (alpha=0.5) multilingual sample: keep prob
+    min(1, 8/isqrt(n_lang)) — dominant languages downsampled toward
+    sqrt(n) mass, small ones kept whole; integer-exact, map-side filter."""
+    return (SA.lang_temperature_sample(_docs(spark, sf_dir), "doc_id",
+                                       "lang", LANG_MIX_RATE)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def _lang_mix_oracle() -> str:
+    inner = SA.lang_temperature_sample_sql("documents", "doc_id", "lang",
+                                           LANG_MIX_RATE)
+    return f"SELECT doc_id, lang FROM ({inner}) ORDER BY doc_id"
+
+
 def q_raster_lookup(spark, sf_dir):
     pts = _docs_points(spark, sf_dir)
     out = raster_lookup(pts, _raster_df(spark),
@@ -1544,6 +1562,29 @@ FROM events l ASOF LEFT JOIN snaps r
 ORDER BY l.event_id"""
 
 
+# --- corpus-level line dedup -------------------------------------------------
+# runs on the lined corpus (the boilerplate fixtures): the injected
+# BOILERPLATE_LINE appears in every 3rd doc and must survive ONLY in doc 0;
+# token-wrap collisions dedupe at their smallest (doc, pos).  Distinct from
+# boilerplate_strip (frequency filter drops ALL copies; this keeps one).
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide keep-first-occurrence line dedup, reassembled per doc;
+    clean text value-checked via md5 (compact, byte-exact)."""
+    out = D.line_dedup_corpus(_lined_docs(spark, sf_dir))
+    return (out.select("doc_id", "n_lines", "n_lines_kept",
+                       F.md5(F.col("clean_text")).alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+def _line_dedup_oracle() -> str:
+    return f"""
+WITH src AS ({_LINED_CTE})
+SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5
+FROM ({D.line_dedup_corpus_sql('src')})
+ORDER BY doc_id"""
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % 25 == 0)
@@ -2111,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "audio_features": q_audio_features,
         "events_asof": q_events_asof,
+        "line_dedup": q_line_dedup,
+        "lang_mix": q_lang_mix,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2318,6 +2361,8 @@ ORDER BY a, b""",
         "image_near_dup": _image_near_dup_oracle(),
         "audio_features": _audio_features_oracle(),
         "events_asof": _events_asof_oracle(),
+        "line_dedup": _line_dedup_oracle(),
+        "lang_mix": _lang_mix_oracle(),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

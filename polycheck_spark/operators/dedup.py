@@ -782,3 +782,86 @@ reach(id, r) AS (
 )
 SELECT id AS {out_id}, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
+
+
+# --- corpus-level line dedup (keep first occurrence) ------------------------
+
+def line_dedup_corpus(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", delim: str = "\n",
+                      min_len: int = 1) -> DataFrame:
+    """Corpus-wide exact line dedup, RefinedWeb-style: every line that
+    occurs more than once ANYWHERE in the corpus survives only at its
+    first occurrence (smallest ``(id, pos)``); later repeats are removed
+    and each document is reassembled in original order.  Lines shorter
+    than ``min_len`` characters (default: empty lines) never participate
+    — they are kept verbatim everywhere.  Emits
+    (id, n_lines, n_lines_kept, clean_text); a document whose every line
+    is a repeat keeps an empty clean_text rather than disappearing.
+
+    Differs from :func:`~polycheck_spark.operators.text.strip_boilerplate`:
+    that drops ALL copies of corpus-frequent lines (a frequency filter);
+    this keeps exactly one global copy of every line (a dedup).
+
+    Shape for scale: explode to (id, pos, line) rows, ONE map-side-combined
+    ``groupBy(line).agg(min(struct(id, pos)))`` — the canonical table has
+    one row per distinct line — then an equi-join back on the line and one
+    groupBy(id) for reassembly: three shuffles, no window over the full
+    line relation, no cross product.  The join key is the exact line
+    string (engine-parity with the oracle); at corpus scale substitute a
+    64-bit digest key to cut shuffle bytes (collision odds ~n^2/2^65).  A
+    line duplicated across a large fraction of the corpus makes a hot join
+    key; AQE skew-join splits it because the canonical side is one row per
+    line (broadcastable fragments).
+    """
+    import re
+    parts = F.split(F.col(text_col), re.escape(delim), -1)
+    lines = docs.select(F.col(id_col).alias("id"),
+                        F.posexplode(parts).alias("pos", "line"))
+    part = lines.filter(F.length("line") >= min_len)
+    canon = part.groupBy("line").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("first"))
+    marked = lines.join(canon, "line", "left")
+    keep = (F.col("first").isNull()
+            | ((F.col("first.id") == F.col("id"))
+               & (F.col("first.pos") == F.col("pos"))))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(
+            F.when(keep, F.struct(F.col("pos"), F.col("line"))))),
+        lambda x: x["line"])
+    return (marked.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_lines"),
+                 F.count(F.when(keep, F.lit(1))).cast("int").alias("n_lines_kept"),
+                 F.array_join(ordered, delim).alias("clean_text"))
+            .select(F.col("id").alias(id_col), "n_lines", "n_lines_kept",
+                    "clean_text"))
+
+
+def line_dedup_corpus_sql(table: str, id_col: str = "doc_id",
+                          text_col: str = "text", delim: str = "\n",
+                          min_len: int = 1) -> str:
+    """DuckDB twin of :func:`line_dedup_corpus` (same first-occurrence
+    rule via min-(id,pos) per line, same positional reassembly)."""
+    from polycheck_spark.operators.text import _delim_sql
+    d = _delim_sql(delim)
+    return f"""
+WITH ld_parts AS (SELECT {id_col} AS id, string_split({text_col}, {d}) AS pl FROM {table}),
+ld_lines AS (
+  SELECT id, s - 1 AS pos, pl[s] AS line
+  FROM (SELECT id, pl, unnest(generate_series(1, len(pl))) AS s FROM ld_parts)),
+ld_canon AS (
+  SELECT line, MIN({{'id': id, 'pos': pos}}) AS first
+  FROM ld_lines WHERE len(line) >= {min_len} GROUP BY line),
+ld_marked AS (
+  SELECT l.id, l.pos, l.line,
+         (c.line IS NULL OR (c.first.id = l.id AND c.first.pos = l.pos)) AS keep
+  FROM ld_lines l LEFT JOIN ld_canon c USING (line)),
+ld_agg AS (
+  SELECT id, COUNT(*) AS n_lines,
+         COUNT(CASE WHEN keep THEN 1 END) AS n_lines_kept,
+         coalesce(string_agg(CASE WHEN keep THEN line END, {d} ORDER BY pos)
+                  FILTER (WHERE keep), '') AS clean_text
+  FROM ld_marked GROUP BY id)
+SELECT id AS {id_col}, CAST(n_lines AS INT) AS n_lines,
+       CAST(n_lines_kept AS INT) AS n_lines_kept, clean_text
+FROM ld_agg
+"""

@@ -97,3 +97,72 @@ def stratified_sample_sql(table: str, key_expr: str, stratum_col: str,
     h = (f"CAST('0x' || substr(md5('{_sq(salt)}:' || CAST({key_expr} AS VARCHAR)), 1, 8) "
          f"AS BIGINT)")
     return f"SELECT * FROM {table} WHERE ({h} % ({den_c})) < ({num_c})"
+
+
+# --- temperature-scaled language mixing --------------------------------------
+
+SQRT_SAMPLE_M = 1 << 32  # bucket modulus: the md5 bucket is 8 hex digits
+
+
+def _isqrt_cols(n):
+    """Exact integer sqrt of a BIGINT Column: double sqrt then a one-step
+    integer correction (double sqrt is within 1 ulp for n < 2^53, so one
+    +-1 adjustment lands exactly).  Engine-parity safe — the same
+    correction runs in the SQL twin, so a boundary-rounding double never
+    flips a row in one engine only."""
+    s0 = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    return (s0
+            + F.when((s0 + 1) * (s0 + 1) <= n, F.lit(1)).otherwise(F.lit(0))
+            - F.when(s0 * s0 > n, F.lit(1)).otherwise(F.lit(0)))
+
+
+def _isqrt_sql(n_expr: str) -> str:
+    s0 = f"CAST(FLOOR(SQRT(CAST({n_expr} AS DOUBLE))) AS BIGINT)"
+    return (f"({s0} + (CASE WHEN ({s0} + 1) * ({s0} + 1) <= {n_expr} THEN 1 ELSE 0 END)"
+            f" - (CASE WHEN {s0} * {s0} > {n_expr} THEN 1 ELSE 0 END))")
+
+
+def lang_temperature_sample(df: DataFrame, key_col: str, stratum_col: str,
+                            rate: tuple[int, int], *,
+                            salt: str = "s0") -> DataFrame:
+    """Temperature-flattened multilingual sampling (alpha = 0.5): keep each
+    row of stratum ``l`` with probability ``min(1, num / (den * isqrt(n_l)))``
+    where ``n_l`` is the stratum's row count — so expected kept mass per
+    stratum is ``(num/den) * sqrt(n_l)``, the classic T=2 flattening that
+    up-weights low-resource languages relative to their corpus share
+    (strata small enough that ``num >= den * isqrt(n_l)`` are kept whole).
+
+    ENTIRELY integer-exact and deterministic by key: membership compares
+    ``bucket * den * isqrt(n_l) < 2^32 * num`` over the md5 bucket — no
+    double arithmetic can flip a row between engines.  Other temperatures
+    generalize via exact integer k-th roots (same correction trick).
+
+    Scale shape: one map-side-combined count over the stratum column (tiny
+    result — one row per language), broadcast back, then a map-side filter;
+    the fact table is never shuffled.  Overflow-guarded: requires
+    ``den * isqrt(n_l) < 2^31`` (holds through n_l ~ 10^12 docs for
+    den <= 2000).
+    """
+    num, den = rate
+    if num < 0 or den <= 0:
+        raise ValueError("need num >= 0 and den > 0")
+    cnt = df.groupBy(F.col(stratum_col).alias("__st")).count()
+    s = cnt.select("__st", _isqrt_cols(F.col("count")).alias("__s"))
+    joined = df.join(F.broadcast(s), df[stratum_col] == F.col("__st"), "left")
+    bucket = _bucket(F.col(key_col), salt, SQRT_SAMPLE_M)
+    keep = (bucket * F.lit(den) * F.col("__s")
+            < F.lit(SQRT_SAMPLE_M) * F.lit(num))
+    return joined.filter(keep).drop("__st", "__s")
+
+
+def lang_temperature_sample_sql(table: str, key_expr: str, stratum_col: str,
+                                rate: tuple[int, int],
+                                salt: str = "s0") -> str:
+    num, den = rate
+    b = _bucket_sql(key_expr, salt, SQRT_SAMPLE_M)
+    return f"""
+SELECT t.* FROM {table} t
+JOIN (SELECT {stratum_col} AS st, {_isqrt_sql('COUNT(*)')} AS s
+      FROM {table} GROUP BY 1) c ON t.{stratum_col} = c.st
+WHERE {b} * {den} * c.s < {SQRT_SAMPLE_M} * {num}
+"""

@@ -873,3 +873,68 @@ def test_search_topk_absent_term_is_ignored(spark):
     got = [(r["doc_id"], r["score"]) for r in
            TX.search_topk(docs, ["alpha", "zzz_missing"], 5).collect()]
     assert got == [(1, TX.IDF_SCALE)]
+
+
+def test_line_dedup_corpus_semantics(spark):
+    """Keep-first-occurrence rule: later repeats vanish, empty lines are
+    kept verbatim everywhere, fully-deduped docs keep empty text."""
+    from polycheck_spark.operators.dedup import line_dedup_corpus
+    docs = spark.createDataFrame(
+        [(1, "a\nb\n"), (2, "b\nc"), (3, "a\na\n")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_lines, r.n_lines_kept, r.clean_text)
+           for r in line_dedup_corpus(docs).collect()}
+    assert out[1] == (3, 3, "a\nb\n")   # all first occurrences + empty kept
+    assert out[2] == (2, 1, "c")        # 'b' already in doc 1
+    assert out[3] == (3, 1, "")         # both 'a's repeat; empty line kept
+    # contrast with strip_boilerplate: that would drop ALL copies of a hot
+    # line; here exactly one global copy survives (doc 1 retains 'a', 'b')
+
+
+def test_line_dedup_corpus_matches_duckdb(spark, tmp_path):
+    from polycheck_spark.operators.dedup import (line_dedup_corpus,
+                                                 line_dedup_corpus_sql)
+    import duckdb
+    # 60 docs, heavy cross-doc line overlap (every line drawn from 12)
+    docs = spark.range(60).selectExpr(
+        "id AS doc_id",
+        "concat_ws(chr(10), 'line' || CAST(id % 12 AS STRING), "
+        "'line' || CAST((id * 7) % 12 AS STRING), "
+        "CASE WHEN id % 5 = 0 THEN '' ELSE 'u' || CAST(id AS STRING) END) AS text")
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    got = sorted(map(tuple, line_dedup_corpus(docs)
+                     .select("doc_id", "n_lines", "n_lines_kept",
+                             "clean_text").collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = sorted(map(tuple, con.execute(line_dedup_corpus_sql("t")).fetchall()))
+    con.close()
+    assert got == want
+
+
+def test_lang_temperature_sample(spark):
+    """Strata with isqrt(n) <= num/den are kept whole; membership is a pure
+    key function (partition-invariant); isqrt correction is exact."""
+    import math
+    from polycheck_spark.operators.sampling import (lang_temperature_sample,
+                                                    _isqrt_cols)
+    from pyspark.sql import functions as F
+    # 900 'big' rows (isqrt=30) + 9 'small' rows (isqrt=3)
+    df = spark.range(909).selectExpr(
+        "id AS k", "CASE WHEN id < 900 THEN 'big' ELSE 'small' END AS st")
+    out = lang_temperature_sample(df, "k", "st", (4, 1))
+    by = {r.st: r.c for r in out.groupBy("st").agg(
+        F.count("*").alias("c")).collect()}
+    assert by.get("small") == 9              # 4 >= 1*3: kept whole
+    assert 0 < by["big"] < 900               # 4/30: genuinely downsampled
+    # partition invariance
+    again = lang_temperature_sample(df.repartition(7), "k", "st", (4, 1))
+    assert sorted(r.k for r in out.collect()) == \
+        sorted(r.k for r in again.collect())
+    # exact isqrt across perfect-square boundaries and large values
+    ns = [0, 1, 2, 3, 4, 8, 9, 10, 9999999999999998, 10**12, 10**12 + 1]
+    probe = spark.createDataFrame([(n,) for n in ns], "n long") \
+        .select("n", _isqrt_cols(F.col("n")).alias("s"))
+    for r in probe.collect():
+        assert r.s == math.isqrt(r.n), (r.n, r.s)
