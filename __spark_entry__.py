@@ -384,6 +384,30 @@ def _lang_mix_oracle() -> str:
     return f"SELECT doc_id, lang FROM ({inner}) ORDER BY doc_id"
 
 
+QUALITY_TOPQ_RATE = (3, 10)
+
+
+def q_quality_topq(spark, sf_dir):
+    """Per-language quality-percentile cut: keep the top 30% of each
+    language by text byte length (doc_id tie-break) — integer-exact rank
+    threshold, one window shuffle."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.octet_length("text").cast("long").alias("score"))
+    return (SA.top_fraction_per_stratum(d, "lang", "score",
+                                        QUALITY_TOPQ_RATE, tie_col="doc_id")
+            .orderBy("doc_id"))
+
+
+def _quality_topq_oracle() -> str:
+    # DuckDB strlen = UTF-8 byte length of a VARCHAR (its octet_length is
+    # BLOB-only); Spark octet_length is the same byte count
+    inner = ("(SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS score "
+             "FROM documents)")
+    return (SA.top_fraction_per_stratum_sql(inner, "lang", "score",
+                                            QUALITY_TOPQ_RATE, "doc_id")
+            + " ORDER BY doc_id")
+
+
 def q_raster_lookup(spark, sf_dir):
     pts = _docs_points(spark, sf_dir)
     out = raster_lookup(pts, _raster_df(spark),
@@ -2154,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "line_dedup": q_line_dedup,
         "lang_mix": q_lang_mix,
+        "quality_topq": q_quality_topq,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2363,6 +2388,7 @@ ORDER BY a, b""",
         "events_asof": _events_asof_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "lang_mix": _lang_mix_oracle(),
+        "quality_topq": _quality_topq_oracle(),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

@@ -204,7 +204,7 @@ def main():
                  "incremental_dedup", "tile_rank", "search_topk",
                  "robots_filter", "unigram_quality",
                  "media_decode", "image_near_dup", "audio_features",
-                 "events_asof", "line_dedup", "lang_mix"]:
+                 "events_asof", "line_dedup", "lang_mix", "quality_topq"]:
         best = None
         for _ in range(2):
             t0 = time.time()

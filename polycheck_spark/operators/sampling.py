@@ -16,7 +16,7 @@ without a shuffle on the fact table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _bucket(key_col, salt: str, den: int):
@@ -165,4 +165,51 @@ SELECT t.* FROM {table} t
 JOIN (SELECT {stratum_col} AS st, {_isqrt_sql('COUNT(*)')} AS s
       FROM {table} GROUP BY 1) c ON t.{stratum_col} = c.st
 WHERE {b} * {den} * c.s < {SQRT_SAMPLE_M} * {num}
+"""
+
+
+# --- per-stratum top-fraction selection ---------------------------------------
+
+def top_fraction_per_stratum(df: DataFrame, stratum_col: str, score_col: str,
+                             rate: tuple[int, int], *,
+                             tie_col: str) -> DataFrame:
+    """Quality-percentile cut: keep the top ``num/den`` fraction of each
+    stratum by ``score_col`` (descending), i.e. rows with
+    ``rank <= floor(n_stratum * num / den)`` under the total order
+    ``(score DESC, tie ASC)``.  ``tie_col`` must be unique per stratum
+    (e.g. the doc id) so the order — and therefore membership — is exact
+    and engine-independent; all arithmetic is integer.  A stratum smaller
+    than ``den/num`` rows keeps ``floor(n*num/den)`` rows, possibly zero.
+
+    Scale shape: ONE window shuffle on the stratum (count and rank ride
+    the same partitioning); a stratum is the unit of parallelism, so at
+    corpus scale shard giant strata by a coarse score bucket first (rank
+    within bucket + offset by the broadcast bucket-count prefix sum) —
+    the same shard-the-group-key contract as packing.
+    """
+    num, den = rate
+    if not 0 <= num <= den or den <= 0:
+        raise ValueError("need 0 <= num <= den")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(score_col).desc(), F.col(tie_col).asc())
+    wc = Window.partitionBy(stratum_col)
+    ranked = df.select(
+        "*", F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(wc).alias("__n"))
+    keep = F.col("__rk") * F.lit(den) <= F.col("__n") * F.lit(num)
+    return ranked.filter(keep).drop("__rk", "__n")
+
+
+def top_fraction_per_stratum_sql(table: str, stratum_col: str, score_col: str,
+                                 rate: tuple[int, int],
+                                 tie_col: str) -> str:
+    num, den = rate
+    return f"""
+SELECT * EXCLUDE (__rk, __n) FROM (
+  SELECT t.*,
+         ROW_NUMBER() OVER (PARTITION BY {stratum_col}
+                            ORDER BY {score_col} DESC, {tie_col} ASC) AS __rk,
+         COUNT(*) OVER (PARTITION BY {stratum_col}) AS __n
+  FROM {table} t)
+WHERE __rk * {den} <= __n * {num}
 """

@@ -138,3 +138,23 @@ def test_sampling_plans_have_no_shuffle(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Scan parquet" in plan
+
+
+def test_top_fraction_per_stratum(spark):
+    """rank*den <= n*num selection: exact counts per stratum, descending
+    score, deterministic doc-id tie-break, small-stratum floor to zero."""
+    from polycheck_spark.operators.sampling import top_fraction_per_stratum
+    rows = ([(i, "a", i % 7) for i in range(20)]      # n=20, keep floor(6)
+            + [(100 + i, "b", 5) for i in range(3)])  # n=3, ties, keep 0
+    df = spark.createDataFrame(rows, "k long, st string, score long")
+    out = top_fraction_per_stratum(df, "st", "score", (3, 10), tie_col="k")
+    got = sorted((r.st, r.k) for r in out.collect())
+    # stratum a: scores cycle 0..6; top-6 = the six highest (score, -k)
+    want_a = sorted(
+        ((i % 7), -i, i) for i in range(20))[-6:]
+    assert got == sorted([("a", k) for (_, _, k) in want_a])
+    # rate (1,1) keeps everything; (0,1) keeps nothing
+    assert top_fraction_per_stratum(df, "st", "score", (1, 1),
+                                    tie_col="k").count() == 23
+    assert top_fraction_per_stratum(df, "st", "score", (0, 1),
+                                    tie_col="k").count() == 0
