@@ -13,10 +13,10 @@ filtered back out.  Cost: ONE hash shuffle on the key plus a per-key sort —
 the same price as the window aggregations elsewhere in this engine, versus
 the range-join explosion (every left row x every earlier right row) a naive
 ``l.ts >= r.ts`` join pays.  At 10^12 events the key is the unit of
-parallelism: a single giant key serializes its sort, so callers shard hot
-keys the same way :mod:`.packing` documents (id-derived subkey), which
-preserves correctness per shard when right rows are replicated to each
-shard of their key.
+parallelism: a single giant key serializes its sort, so ``shards > 1``
+salts left rows into timestamp-hashed subkeys and replicates right rows
+to every shard — each shard sees its key's full snapshot history, so the
+output is exactly the unsharded result while the sort parallelizes.
 
 Contract: right rows must be unique per ``(key, right_ts)`` — with
 duplicates, "the most recent row" is ill-defined and engines (and this
@@ -32,14 +32,26 @@ from pyspark.sql import DataFrame, Window, functions as F
 def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               value_cols: list[str],
-              tolerance_sec: int | None = None) -> DataFrame:
+              tolerance_sec: int | None = None,
+              shards: int = 1) -> DataFrame:
     """Backward as-of join: left columns plus, per left row, the
     ``value_cols`` of the most recent right row (``right_ts <= left_ts``,
     same ``on`` key) and its timestamp as ``asof_ts``.  No match (or a
     match older than ``tolerance_sec``) leaves them NULL.
 
+    ``shards > 1`` is the hot-key mitigation: left rows salt into
+    ``shards`` subkeys (by a hash of their timestamp — the only
+    always-present column) and right rows REPLICATE to every shard, so
+    each shard still sees the full snapshot history of its key and the
+    result is exactly the ``shards=1`` output (pytest-pinned) while a
+    key's sort parallelizes ``shards``-way.  Cost: right side grows
+    ``shards``x — right is the small (dimension/snapshot) relation, so
+    size shards to the left skew, not the corpus.
+
     Output: every left column, then ``asof_ts``, then ``value_cols``.
     """
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
     lcols = left.columns
     clash = set(value_cols + ["asof_ts"]) & set(lcols)
     if clash:
@@ -56,8 +68,16 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
         F.col(right_ts).alias("__ts"), F.lit(0).alias("__tag"),
         F.col(right_ts).alias("__rts"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols])
+    key = list(on)
+    if shards > 1:
+        l_side = l_side.withColumn(
+            "__shard", F.pmod(F.xxhash64(F.col("__ts")), F.lit(shards)))
+        r_side = r_side.withColumn(
+            "__shard", F.explode(F.sequence(F.lit(0), F.lit(shards - 1))
+                                 .cast("array<long>")))
+        key = key + ["__shard"]
     u = l_side.unionByName(r_side)
-    w = (Window.partitionBy(*on).orderBy("__ts", "__tag")
+    w = (Window.partitionBy(*key).orderBy("__ts", "__tag")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u.select(
         *lcols, "__ts", "__tag",

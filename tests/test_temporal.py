@@ -98,3 +98,29 @@ def test_matches_duckdb_asof_on_random_data(spark, tmp_path):
         f"ON l.k = r.k AND l.ts >= r.ts").fetchall()))
     con.close()
     assert got == want
+
+
+def test_shards_preserve_output_exactly(spark):
+    """shards>1 (salted left + replicated right) must equal shards=1
+    bit-for-bit on random data, including unmatched rows."""
+    ev = spark.range(3000).selectExpr(
+        "id AS event_id", "CAST(id % 5 AS long) AS k",   # 5 hot keys
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,"
+        "CAST((id * 2654435761) % 86400 AS int)) AS ts")
+    sn = spark.range(120).selectExpr(
+        "CAST(id % 5 AS long) AS k",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,"
+        "CAST((id * 40503) % 86400 AS int)) AS ts",
+        "id AS snap").groupBy("k", "ts").agg({"snap": "min"}) \
+        .withColumnRenamed("min(snap)", "snap")
+    base = sorted(tuple(r) for r in asof_join(
+        ev, sn, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["snap"]).collect())
+    sharded = sorted(tuple(r) for r in asof_join(
+        ev, sn, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["snap"], shards=7).collect())
+    assert base == sharded
+    import pytest as _pt
+    with _pt.raises(ValueError, match="shards"):
+        asof_join(ev, sn, on=["k"], left_ts="ts", right_ts="ts",
+                  value_cols=["snap"], shards=0)
