@@ -1609,6 +1609,50 @@ FROM ({D.line_dedup_corpus_sql('src')})
 ORDER BY doc_id"""
 
 
+# --- exact duplicate-span removal --------------------------------------------
+# a 15-token passage appended to every 5th doc guarantees cross-doc repeated
+# 8-token windows at every SF; the operator must keep it only in the smallest
+# planted doc_id and cut the merged span everywhere else.
+
+SPAN_BOILER = ("this website uses cookies to ensure you get the best "
+               "experience on our site")
+SPAN_MOD = 5
+
+
+def _span_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (F.when(F.pmod(F.col("doc_id"), F.lit(SPAN_MOD)) == 0,
+                      F.concat(F.col("text"), F.lit(" " + SPAN_BOILER)))
+               .otherwise(F.col("text")))
+    return docs.select("doc_id", planted.alias("text"))
+
+
+_SPAN_CTE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {SPAN_MOD} = 0 THEN text || ' {SPAN_BOILER}'
+            ELSE text END AS text
+FROM documents"""
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Corpus-wide exact repeated-substring (8-token window) removal:
+    keep-first, token-adjacent windows merged to maximal spans, documents
+    reassembled; clean text value-checked via md5."""
+    out = D.duplicate_span_dedup(_span_docs(spark, sf_dir))
+    return (out.select("doc_id", "n_tokens", "n_dup_spans", "n_dup_tokens",
+                       F.md5(F.col("clean_text")).alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+def _duplicate_spans_oracle() -> str:
+    return f"""
+WITH src AS ({_SPAN_CTE})
+SELECT doc_id, n_tokens, n_dup_spans, n_dup_tokens,
+       md5(clean_text) AS clean_md5
+FROM ({D.duplicate_span_dedup_sql('src')})
+ORDER BY doc_id"""
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % 25 == 0)
@@ -2179,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "lang_mix": q_lang_mix,
         "quality_topq": q_quality_topq,
+        "duplicate_spans": q_duplicate_spans,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2389,6 +2434,7 @@ ORDER BY a, b""",
         "line_dedup": _line_dedup_oracle(),
         "lang_mix": _lang_mix_oracle(),
         "quality_topq": _quality_topq_oracle(),
+        "duplicate_spans": _duplicate_spans_oracle(),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

@@ -865,3 +865,129 @@ SELECT id AS {id_col}, CAST(n_lines AS INT) AS n_lines,
        CAST(n_lines_kept AS INT) AS n_lines_kept, clean_text
 FROM ld_agg
 """
+
+
+SPAN_NGRAM = 8
+
+
+def duplicate_span_dedup(docs: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = SPAN_NGRAM) -> DataFrame:
+    """Exact repeated-substring removal at token-window granularity
+    ("deduplicating training data" style: any ``n``-token window whose
+    exact text occurs more than once ANYWHERE in the corpus is a
+    duplicate; the occurrence with the smallest ``(id, p)`` is kept and
+    every other occurrence is cut from its document).  Overlapping and
+    token-adjacent duplicate windows merge into maximal spans before
+    removal, so a long repeated passage is reported as ONE span.  Emits
+    (id, n_tokens, n_dup_spans, n_dup_tokens, clean_text); clean_text is
+    the surviving tokens joined by single spaces (whitespace-normalized
+    by the shared tokenizer, like every token-level operator here).
+
+    Shape for scale: windows explode to (id, p, gram) — ~L rows per
+    L-token doc — then ONE map-side-combined ``groupBy(gram)`` keeps only
+    grams seen twice (the canonical table is duplicate-mass-sized, far
+    smaller than the corpus at realistic dup rates), one equi-join back
+    marks losing occurrences, and the island merge + reassembly windows
+    run over DUPLICATE windows only, never the full corpus.  The join key
+    is the exact gram text for engine parity with the oracle; at corpus
+    scale substitute a 64-bit digest key to cut shuffle bytes.  A viral
+    gram makes a hot join key; the canonical side is one row per gram, so
+    AQE skew-join splits it for free.
+    """
+    from pyspark.sql import Window
+    base = docs.select(F.col(id_col).alias("id"),
+                       tokens_col(F.col(text_col)).alias("toks"))
+    wins = (base.filter(F.size("toks") >= n)
+            .select("id",
+                    F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("p"),
+                    "toks")
+            .select("id", "p",
+                    F.array_join(F.slice(F.col("toks"), F.col("p") + 1, n), " ")
+                    .alias("gram")))
+    canon = (wins.groupBy("gram")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.min(F.struct(F.col("id"), F.col("p"))).alias("first"))
+             .filter(F.col("cnt") > 1).select("gram", "first"))
+    dup = (wins.join(canon, "gram")
+           .filter(~((F.col("first.id") == F.col("id"))
+                     & (F.col("first.p") == F.col("p"))))
+           .select("id", "p"))
+    # windows sorted by p all have length n, so the running max end is
+    # lag(p) + n - 1: a window starts a new island iff p > lag(p) + n
+    # (strictly past token-adjacency).
+    w = Window.partitionBy("id").orderBy("p")
+    isl = dup.select(
+        "id", "p",
+        F.sum(F.when(F.lag("p").over(w).isNull()
+                     | (F.col("p") > F.lag("p").over(w) + n), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"))
+    spans = (isl.groupBy("id", "island")
+             .agg(F.min("p").alias("s"), (F.max("p") + F.lit(n - 1)).alias("e")))
+    per_doc = (spans.groupBy("id")
+               .agg(F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+                    F.sum(F.col("e") - F.col("s") + 1).cast("int")
+                    .alias("n_dup_tokens"),
+                    F.array_sort(F.collect_list(F.struct("s", "e")))
+                    .alias("__iv")))
+    joined = (base.join(per_doc, "id", "left")
+              .withColumn("__iv", F.coalesce(
+                  "__iv", F.array().cast("array<struct<s:int,e:int>>"))))
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(F.col("__iv"),
+                               lambda iv: (i >= iv["s"]) & (i <= iv["e"])))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size("toks").alias("n_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        F.array_join(kept, " ").alias("clean_text"))
+
+
+def duplicate_span_dedup_sql(table: str, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = SPAN_NGRAM) -> str:
+    """DuckDB twin of :func:`duplicate_span_dedup` (same keep-first rule,
+    same token-adjacent island merge, same whitespace-normalized
+    reassembly)."""
+    return f"""
+WITH ds_tok AS (SELECT {id_col} AS id, {_tokens_sql(text_col)} AS toks FROM {table}),
+ds_gram AS (
+  SELECT id, p, array_to_string(list_slice(toks, p + 1, p + {n}), ' ') AS gram
+  FROM (SELECT id, toks, unnest(generate_series(0, len(toks) - {n})) AS p
+        FROM ds_tok WHERE len(toks) >= {n})),
+ds_canon AS (
+  SELECT gram, MIN({{'id': id, 'p': p}}) AS first
+  FROM ds_gram GROUP BY gram HAVING COUNT(*) > 1),
+ds_dup AS (
+  SELECT g.id, g.p FROM ds_gram g JOIN ds_canon c USING (gram)
+  WHERE NOT (c.first.id = g.id AND c.first.p = g.p)),
+ds_isl AS (
+  SELECT id, p,
+         SUM(CASE WHEN prev_p IS NULL OR p > prev_p + {n} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT id, p, lag(p) OVER (PARTITION BY id ORDER BY p) AS prev_p
+        FROM ds_dup)),
+ds_spans AS (
+  SELECT id, island, MIN(p) AS s, MAX(p) + {n - 1} AS e
+  FROM ds_isl GROUP BY id, island),
+ds_per AS (
+  SELECT id, COUNT(*) AS n_dup_spans, SUM(e - s + 1) AS n_dup_tokens
+  FROM ds_spans GROUP BY id),
+ds_tokpos AS (
+  SELECT id, u - 1 AS i, toks[u] AS tok
+  FROM (SELECT id, toks, unnest(generate_series(1, len(toks))) AS u
+        FROM ds_tok WHERE len(toks) > 0)),
+ds_clean AS (
+  SELECT t.id, string_agg(t.tok, ' ' ORDER BY t.i) AS clean_text
+  FROM ds_tokpos t
+  WHERE NOT EXISTS (SELECT 1 FROM ds_spans v
+                    WHERE v.id = t.id AND t.i BETWEEN v.s AND v.e)
+  GROUP BY t.id)
+SELECT d.id AS {id_col}, CAST(len(d.toks) AS INT) AS n_tokens,
+       CAST(coalesce(p.n_dup_spans, 0) AS INT) AS n_dup_spans,
+       CAST(coalesce(p.n_dup_tokens, 0) AS INT) AS n_dup_tokens,
+       coalesce(c.clean_text, '') AS clean_text
+FROM ds_tok d LEFT JOIN ds_per p USING (id) LEFT JOIN ds_clean c USING (id)
+"""

@@ -938,3 +938,46 @@ def test_lang_temperature_sample(spark):
         .select("n", _isqrt_cols(F.col("n")).alias("s"))
     for r in probe.collect():
         assert r.s == math.isqrt(r.n), (r.n, r.s)
+
+
+def test_duplicate_span_dedup_semantics(spark):
+    """Keep-first rule at window granularity: the smallest (id, p)
+    occurrence survives, shifted repeats are cut, self-repeats keep one
+    copy, overlapping windows merge to ONE span, short docs pass through."""
+    from polycheck_spark.operators.dedup import duplicate_span_dedup
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota tail"),
+         (1, "pre alpha beta gamma delta epsilon zeta eta theta iota post"),
+         (2, "tiny doc"),
+         (3, "a b c d e f g h a b c d e f g h a b c d e f g h")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_dup_spans, r.n_dup_tokens, r.clean_text)
+           for r in duplicate_span_dedup(docs, n=8).collect()}
+    assert out[0] == (10, 0, 0,
+                      "alpha beta gamma delta epsilon zeta eta theta iota tail")
+    # doc 1: the 9 shared tokens (three overlapping dup windows -> 1 span)
+    assert out[1] == (11, 1, 9, "pre post")
+    assert out[2] == (2, 0, 0, "tiny doc")
+    # doc 3: windows at p=8..16 repeat p=0..; one merged span of 16 tokens
+    assert out[3] == (24, 1, 16, "a b c d e f g h")
+
+
+def test_duplicate_span_dedup_matches_duckdb(spark, tmp_path):
+    from polycheck_spark.operators.dedup import (duplicate_span_dedup,
+                                                 duplicate_span_dedup_sql)
+    import duckdb
+    # 80 docs of 20 tokens drawn from a 9-word vocabulary with per-doc
+    # phase: dense cross-doc 8-gram overlap plus organic self-repeats
+    docs = spark.range(80).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(0, 19), "
+        "  i -> element_at(array('w0','w1','w2','w3','w4','w5','w6','w7','w8'),"
+        "       CAST((i * (1 + id % 3) + id % 7) % 9 AS INT) + 1)), ' ') AS text")
+    pdf = docs.toPandas()
+    got = sorted(map(tuple, duplicate_span_dedup(docs).collect()))
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(map(tuple, con.execute(duplicate_span_dedup_sql("t")).fetchall()))
+    con.close()
+    assert got == want
+    assert any(r[2] > 0 for r in got)  # the corpus really has dup spans
