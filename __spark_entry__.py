@@ -935,6 +935,21 @@ def _incremental_dedup_oracle() -> str:
             + " ORDER BY doc_id")
 
 
+def q_bloom_inc_dedup(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup: same verdicts as
+    q_incremental_dedup BIT-FOR-BIT (the oracle IS the plain exact SQL) —
+    the bitmap prefilter is lossless because misses are guaranteed absent
+    and hits are re-verified by the exact digest join; only the hit
+    fraction of the batch shuffles against the corpus index."""
+    from polycheck_spark.operators.bloom import bloom_incremental_dedup
+    docs = _inc_docs(spark, sf_dir)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(INC_BATCH_MOD)) == 0)
+    seen = (docs.filter(F.pmod(F.col("doc_id"), F.lit(INC_BATCH_MOD)) != 0)
+            .select(F.md5(F.col("text")).alias("digest")))
+    return (bloom_incremental_dedup(new, seen, m_bits=1 << 16, k=5)
+            .orderBy("doc_id"))
+
+
 # fixed text shared by every 11th page: the exact-dedup stage of the web
 # pipeline provably collapses them to one survivor
 WEB_DUP_TEXT = "lorem ipsum duplicate page content"
@@ -2224,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix": q_lang_mix,
         "quality_topq": q_quality_topq,
         "duplicate_spans": q_duplicate_spans,
+        "bloom_inc_dedup": q_bloom_inc_dedup,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2435,6 +2451,7 @@ ORDER BY a, b""",
         "lang_mix": _lang_mix_oracle(),
         "quality_topq": _quality_topq_oracle(),
         "duplicate_spans": _duplicate_spans_oracle(),
+        "bloom_inc_dedup": _incremental_dedup_oracle(),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5
