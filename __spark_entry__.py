@@ -950,6 +950,22 @@ def q_bloom_inc_dedup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_containment(spark, sf_dir):
+    """Directional shingle containment (quote/partial-copy detection): the
+    asymmetric counterpart to ngram_jaccard — an excerpt inside a long page
+    scores ~1.0 here while its Jaccard is negligible."""
+    return (D.containment_pairs(_docs(spark, sf_dir), threshold=(1, 2))
+            .orderBy("contained", "container"))
+
+
+def q_common_ngrams(spark, sf_dir):
+    """Per-doc corpus-boilerplate stats: distinct shingles vs shingles whose
+    corpus doc-frequency >= 2 — the linear-cost screen for template-heavy
+    pages that pairwise dedup can't catch."""
+    return (D.common_shingle_stats(_docs(spark, sf_dir), min_df=2)
+            .orderBy("doc_id"))
+
+
 # fixed text shared by every 11th page: the exact-dedup stage of the web
 # pipeline provably collapses them to one survivor
 WEB_DUP_TEXT = "lorem ipsum duplicate page content"
@@ -2240,6 +2256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topq": q_quality_topq,
         "duplicate_spans": q_duplicate_spans,
         "bloom_inc_dedup": q_bloom_inc_dedup,
+        "containment": q_containment,
+        "common_ngrams": q_common_ngrams,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2452,6 +2470,10 @@ ORDER BY a, b""",
         "quality_topq": _quality_topq_oracle(),
         "duplicate_spans": _duplicate_spans_oracle(),
         "bloom_inc_dedup": _incremental_dedup_oracle(),
+        "containment": (D.containment_pairs_sql("documents", threshold=(1, 2))
+                        + " ORDER BY contained, container"),
+        "common_ngrams": (D.common_shingle_stats_sql("documents", min_df=2)
+                          + " ORDER BY doc_id"),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

@@ -991,3 +991,153 @@ SELECT d.id AS {id_col}, CAST(len(d.toks) AS INT) AS n_tokens,
        coalesce(c.clean_text, '') AS clean_text
 FROM ds_tok d LEFT JOIN ds_per p USING (id) LEFT JOIN ds_clean c USING (id)
 """
+
+
+# --- n-gram containment (directional partial-copy detection) ------------------
+
+def containment_pairs(docs: DataFrame, threshold: tuple[int, int] = (8, 10),
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """Directional shingle containment: rows ``(contained, container,
+    n_common, n_contained, n_container)`` where at least ``num/den`` of the
+    CONTAINED doc's shingle set also appears in the container.
+
+    Jaccard misses the quote/partial-copy case — a 50-token excerpt inside
+    a 5000-token page has Jaccard ~0.01 but containment ~1.0 — so crawl
+    pipelines (e.g. the CCNet/RefinedWeb lineage) key "is this page mostly
+    lifted from elsewhere" off containment, not symmetric similarity.
+    The threshold is a rational applied by integer cross-multiplication
+    (``n_common * den >= num * n_contained``) — no float boundary drift
+    between engines.  Each unordered pair is scored ONCE (the ``a < b``
+    self-join half) and then fanned into its two directions, so the
+    quadratic stage costs exactly what :func:`ngram_jaccard_pairs` costs.
+
+    ``max_doc_freq`` is the same hot-shingle pairing cap (conservative
+    subset — n_contained/n_container stay full-set sizes).  At 10^12 docs
+    this is the verification stage over LSH candidates, same contract as
+    Jaccard; the uncapped form the oracle checks is exact.
+    """
+    num, den = threshold
+    sh = _shingles(docs, id_col, text_col).localCheckpoint(eager=False)
+    sh = sh.select(*[F.col(c).alias(c) for c in sh.columns])
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    pair_sh = sh
+    if max_doc_freq is not None:
+        cool = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("shingle"))
+        pair_sh = sh.join(cool, "shingle", "left_semi")
+    pairs = (pair_sh.alias("x").join(pair_sh.alias("y"), "shingle")
+             .filter(F.col("x.id") < F.col("y.id"))
+             .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sized = (pairs
+             .join(sizes.withColumnRenamed("id", "a")
+                   .withColumnRenamed("n", "n_a"), "a")
+             .join(sizes.withColumnRenamed("id", "b")
+                   .withColumnRenamed("n", "n_b"), "b"))
+    fwd = sized.select(F.col("a").alias("contained"),
+                       F.col("b").alias("container"), "n_common",
+                       F.col("n_a").alias("n_contained"),
+                       F.col("n_b").alias("n_container"))
+    rev = sized.select(F.col("b").alias("contained"),
+                       F.col("a").alias("container"), "n_common",
+                       F.col("n_b").alias("n_contained"),
+                       F.col("n_a").alias("n_container"))
+    return (fwd.unionByName(rev)
+            .filter(F.col("n_common") * den >= num * F.col("n_contained")))
+
+
+def containment_pairs_sql(table: str, threshold: tuple[int, int] = (8, 10),
+                          id_col: str = "doc_id", text_col: str = "text",
+                          max_doc_freq: int | None = None) -> str:
+    """DuckDB twin of :func:`containment_pairs` (same one-sided scoring +
+    two-direction fan-out, same rational threshold, same pairing cap)."""
+    num, den = threshold
+    pair_src = "sh"
+    cap_cte = ""
+    if max_doc_freq is not None:
+        cap_cte = f""",
+psh AS (SELECT * FROM sh
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {max_doc_freq})"""
+        pair_src = "psh"
+    return f"""
+WITH sh AS ({_shingles_sql(table, id_col, text_col)}),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id){cap_cte},
+pairs AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS n_common
+  FROM {pair_src} x JOIN {pair_src} y ON x.shingle = y.shingle AND x.id < y.id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT p.a, p.b, p.n_common, sa.n AS n_a, sb.n AS n_b
+  FROM pairs p JOIN sizes sa ON sa.id = p.a JOIN sizes sb ON sb.id = p.b
+),
+two_dir AS (
+  SELECT a AS contained, b AS container, n_common,
+         n_a AS n_contained, n_b AS n_container FROM sized
+  UNION ALL
+  SELECT b AS contained, a AS container, n_common,
+         n_b AS n_contained, n_a AS n_container FROM sized
+)
+SELECT * FROM two_dir WHERE n_common * {den} >= {num} * n_contained
+"""
+
+
+# --- cross-doc common-shingle stats (corpus boilerplate fraction) -------------
+
+def common_shingle_stats(docs: DataFrame, min_df: int = 2,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per doc: how much of it is made of shingles that recur elsewhere in
+    the corpus — ``(id, n_shingles, n_common)`` where ``n_common`` counts
+    the doc's distinct shingles whose corpus document-frequency is
+    ``>= min_df``.  ``n_common / n_shingles`` is the corpus-boilerplate
+    fraction used to drop template-heavy pages that survive pairwise dedup
+    (no single partner is similar enough, but the page is assembled from
+    ubiquitous fragments).
+
+    Scale shape — strictly LINEAR, unlike the pairwise operators: the
+    shingle relation aggregates by shingle (map-side-combined counters, a
+    hot shingle is just a bigger count, never a join fan-out), joins back
+    on the same key (co-partitioned with the groupBy, no extra shuffle of
+    the big side under AQE), and re-aggregates by doc.  Zero-shingle docs
+    (< NGRAM tokens) are preserved with 0/0 via a left join from the doc
+    ids.
+    """
+    sh = _shingles(docs, id_col, text_col).localCheckpoint(eager=False)
+    sh = sh.select(*[F.col(c).alias(c) for c in sh.columns])
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (sh.join(dfreq, "shingle")
+           .groupBy("id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0))
+                .alias("n_common")))
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (ids.join(per, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_shingles", F.lit(0).cast("long"))
+                    .alias("n_shingles"),
+                    F.coalesce("n_common", F.lit(0).cast("long"))
+                    .alias("n_common")))
+
+
+def common_shingle_stats_sql(table: str, min_df: int = 2,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """DuckDB twin of :func:`common_shingle_stats`.  The conditional SUM is
+    CAST to BIGINT — DuckDB types un-cast integer SUMs as HUGEINT, which
+    the driver's representation-sensitive hash rejects (selfcheck lint)."""
+    return f"""
+WITH sh AS ({_shingles_sql(table, id_col, text_col)}),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+per AS (
+  SELECT id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common
+  FROM sh JOIN dfreq USING (shingle) GROUP BY id)
+SELECT d.{id_col} AS {id_col},
+       coalesce(p.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+       coalesce(p.n_common, CAST(0 AS BIGINT)) AS n_common
+FROM {table} d LEFT JOIN per p ON p.id = d.{id_col}
+"""
