@@ -966,6 +966,31 @@ def q_common_ngrams(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    member with the MOST tokens (ties -> smallest id) — the RefinedWeb-style
+    rule — via one argmax-by-struct aggregation, no per-cluster sort."""
+    docs = _docs(spark, sf_dir)
+    assign = (D.cluster_assignments(
+        docs.select("doc_id"), D.lsh_candidate_pairs(docs), id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), "cluster_id"))
+    scores = docs.select(
+        "doc_id", F.size(TX.tokens_col(F.col("text"))).alias("score"))
+    return (D.select_survivors(assign, scores)
+            .orderBy("cluster_id"))
+
+
+def _dedup_survivors_oracle() -> str:
+    assign = D.connected_components_sql(
+        "SELECT doc_id FROM documents",
+        D.lsh_candidate_pairs_sql("documents"),
+        id_col="doc_id", out_id="doc_id")
+    scores = (f"SELECT doc_id, CAST(len({TX._tokens_sql('text')}) AS INT)"
+              " AS score FROM documents")
+    return (D.select_survivors_sql(assign, scores)
+            + " ORDER BY cluster_id")
+
+
 # fixed text shared by every 11th page: the exact-dedup stage of the web
 # pipeline provably collapses them to one survivor
 WEB_DUP_TEXT = "lorem ipsum duplicate page content"
@@ -2258,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_inc_dedup": q_bloom_inc_dedup,
         "containment": q_containment,
         "common_ngrams": q_common_ngrams,
+        "dedup_survivors": q_dedup_survivors,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2474,6 +2500,7 @@ ORDER BY a, b""",
                         + " ORDER BY contained, container"),
         "common_ngrams": (D.common_shingle_stats_sql("documents", min_df=2)
                           + " ORDER BY doc_id"),
+        "dedup_survivors": _dedup_survivors_oracle(),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

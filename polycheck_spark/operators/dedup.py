@@ -1141,3 +1141,61 @@ SELECT d.{id_col} AS {id_col},
        coalesce(p.n_common, CAST(0 AS BIGINT)) AS n_common
 FROM {table} d LEFT JOIN per p ON p.id = d.{id_col}
 """
+
+
+# --- quality-aware survivor selection ----------------------------------------
+
+def select_survivors(assignments: DataFrame, scores: DataFrame, *,
+                     id_col: str = "doc_id", cluster_col: str = "cluster_id",
+                     score_col: str = "score") -> DataFrame:
+    """One representative per cluster: the member with the HIGHEST score
+    (ties -> smallest id) — ``(cluster_id, id, score, n_members)``.
+
+    Min-id survivor selection (what :func:`cluster_assignments` consumers
+    get by keeping ``cluster_id == id``) throws away information: when a
+    near-dup cluster mixes a full article with its truncated syndicated
+    copies, production pipelines keep the best member (RefinedWeb keeps the
+    longest, quality-filtered corpora keep the top classifier score), not
+    the one with the lowest crawl id.
+
+    Shape: a plain aggregation — ``max(struct(score, -id))`` picks the
+    argmax with deterministic tie-breaking in ONE map-side-combinable pass,
+    so there is no per-cluster sort and no window; cost is one shuffle on
+    the cluster key regardless of cluster-size skew (a pathological
+    million-member cluster is still just a running max per partition).
+    ``assignments`` is ``(id, cluster_id)`` for every doc (e.g. from
+    :func:`cluster_assignments`); ``scores`` is ``(id, score)`` with
+    integer scores for cross-engine exactness.
+    """
+    j = (assignments.select(F.col(id_col), F.col(cluster_col))
+         .join(scores.select(F.col(id_col), F.col(score_col)), id_col))
+    agg = j.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.struct(F.col(score_col).alias("s"),
+                       (-F.col(id_col)).alias("nid"))).alias("__best"))
+    return agg.select(
+        cluster_col,
+        (-F.col("__best.nid")).alias(id_col),
+        F.col("__best.s").alias(score_col),
+        "n_members")
+
+
+def select_survivors_sql(assign_cte: str, scores_cte: str, *,
+                         id_col: str = "doc_id",
+                         cluster_col: str = "cluster_id",
+                         score_col: str = "score") -> str:
+    """DuckDB twin of :func:`select_survivors` — same argmax-by-struct rule
+    (named struct literal: MAX(ROW(...)) would be unnamed and its fields
+    inaccessible)."""
+    return f"""
+WITH sv_assign AS ({assign_cte}),
+sv_scores AS ({scores_cte}),
+sv_j AS (SELECT a.{cluster_col}, a.{id_col}, s.{score_col}
+         FROM sv_assign a JOIN sv_scores s USING ({id_col})),
+sv_agg AS (
+  SELECT {cluster_col}, COUNT(*) AS n_members,
+         MAX({{'s': {score_col}, 'nid': -{id_col}}}) AS best
+  FROM sv_j GROUP BY {cluster_col})
+SELECT {cluster_col}, -best.nid AS {id_col}, best.s AS {score_col}, n_members
+FROM sv_agg
+"""

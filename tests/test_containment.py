@@ -62,3 +62,21 @@ def test_common_shingle_stats_counts_and_zero_docs(spark):
     # unrelated and zero-shingle docs
     assert out[3].n_common == 0 and out[3].n_shingles == 4 - NGRAM + 1
     assert out[4].n_shingles == 0 and out[4].n_common == 0
+
+
+def test_select_survivors_argmax_and_ties(spark):
+    from polycheck_spark.operators.dedup import select_survivors
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8)],
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 1), (8, 0)],
+        "doc_id long, score int")
+    out = {r.cluster_id: r for r in
+           select_survivors(assign, scores).collect()}
+    assert set(out) == {1, 7, 8}
+    # argmax wins over min-id; tie (2 vs 3, both score 9) -> smaller id
+    assert out[1].doc_id == 2 and out[1].score == 9 and out[1].n_members == 3
+    # singletons survive as themselves
+    assert out[7].doc_id == 7 and out[7].n_members == 1
+    assert out[8].doc_id == 8 and out[8].score == 0
