@@ -160,6 +160,70 @@ def stream_dedup_windowed(spark: SparkSession, source_dir: str, *,
     return writer.start()
 
 
+def stream_dedup_against_corpus(spark: SparkSession, source_dir: str, *,
+                                corpus_digest_dir: str, out_dir: str,
+                                checkpoint_dir: str,
+                                m_bits: int = 1 << 20, k: int = 5,
+                                available_now: bool = True,
+                                max_files_per_trigger: int | None = 1):
+    """Continuous-ingestion dedup of a crawl stream against a FROZEN corpus:
+    per page, ``status`` is ``dup_of_corpus`` iff its text digest is in the
+    corpus digest index, else ``new``.
+
+    The scale contract is the point: the corpus index is 10^12 rows, the
+    micro-batch is thousands — joining every batch against the index would
+    re-shuffle (or at best re-probe) the giant side every few seconds.
+    Instead the Bloom bitmap over the index is built ONCE at stream start
+    (:func:`~polycheck_spark.operators.bloom.bloom_build` — m/64-word
+    shuffle, never corpus-sized) and eagerly pinned; each micro-batch then
+    probes it MAP-SIDE (one-row broadcast, zero batch shuffle) and only the
+    maybe-present fraction — a few percent at realistic inter-crawl dup
+    rates — pays the exact digest join that makes the verdict lossless
+    (misses are guaranteed absent; bloom false positives are re-verified,
+    so output equals the unfiltered join bit-for-bit).
+
+    In-stream (batch-to-batch) duplicates are out of scope here — that is
+    :func:`stream_dedup_windowed`'s stateful contract; composing the two
+    gives the full incremental pipeline.  Sink writes are idempotent
+    per-batch directories, same replay-convergence rationale as
+    :func:`stream_pip_join`.
+    """
+    from polycheck_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    corpus = spark.read.parquet(corpus_digest_dir).select("digest").distinct()
+    # build + pin the bitmap once; every micro-batch reuses the materialized
+    # one-row frame instead of re-scanning the corpus
+    bloom = bloom_build(corpus, "digest", m_bits=m_bits, k=k).localCheckpoint()
+
+    stream = read_pages_stream(spark, source_dir, max_files_per_trigger)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("url", F.md5(F.col("text")).alias("digest"))
+        probed = bloom_might_contain(batch, "digest", bloom,
+                                     m_bits=m_bits, k=k)
+        hits = (probed.filter(F.col("bloom_hit"))
+                .join(corpus.withColumn("__seen", F.lit(True)),
+                      "digest", "left"))
+        misses = (probed.filter(~F.col("bloom_hit"))
+                  .withColumn("__seen", F.lit(None).cast("boolean")))
+        verdicts = (hits.select("url", "digest", "__seen")
+                    .unionByName(misses.select("url", "digest", "__seen"))
+                    .select("url", "digest",
+                            F.when(F.col("__seen").isNotNull(),
+                                   "dup_of_corpus")
+                            .otherwise("new").alias("status")))
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}")
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_tile_counts(spark: SparkSession, source_dir: str, *,
                        res: int = 4, window: str = "1 hour",
                        watermark: str = "2 hours",

@@ -217,3 +217,40 @@ def test_stream_tile_counts_replay_is_exactly_once(spark, tmp_path):
     k3 = keys()
     assert len(k3) == len(set(k3)), "restart re-emitted an existing window"
     assert set(k1) <= set(k3) and len(k3) > len(k1)
+
+
+def test_stream_dedup_against_corpus_equals_batch_join(spark, tmp_path):
+    """Bloom-prefiltered stream-vs-frozen-corpus dedup is LOSSLESS: the
+    union of micro-batch verdicts equals the plain batch left join (misses
+    skip the join, false positives are re-verified)."""
+    src = str(tmp_path / "cc_src")
+    base = synth.generate_pages(spark, 600)
+    # stream files: thirds by url hash; corpus: every even-id page's text
+    for i in range(3):
+        base.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i) \
+            .write.mode("append").parquet(src)
+    corpus_dir = str(tmp_path / "corpus_digests")
+    corpus = base.filter(F.pmod(F.xxhash64("text"), F.lit(2)) == 0) \
+        .select(F.md5(F.col("text")).alias("digest")).distinct()
+    corpus.write.parquet(corpus_dir)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = SP.stream_dedup_against_corpus(
+        spark, src, corpus_digest_dir=corpus_dir, out_dir=out,
+        checkpoint_dir=ckpt, m_bits=1 << 12, k=3)  # small bitmap: FPs likely
+    q.awaitTermination(300)
+
+    got = sorted(map(tuple, spark.read.parquet(out)
+                     .select("url", "digest", "status").collect()))
+    pages = spark.read.parquet(src).select(
+        "url", F.md5(F.col("text")).alias("digest"))
+    exp = sorted(map(tuple, pages.join(
+        spark.read.parquet(corpus_dir).withColumn("__s", F.lit(True)),
+        "digest", "left")
+        .select("url", "digest",
+                F.when(F.col("__s").isNotNull(), "dup_of_corpus")
+                .otherwise("new").alias("status")).collect()))
+    assert got == exp and len(got) == 600
+    statuses = {t[2] for t in got}
+    assert statuses == {"new", "dup_of_corpus"}
