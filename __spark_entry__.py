@@ -1642,6 +1642,39 @@ FROM events l ASOF LEFT JOIN snaps r
 ORDER BY l.event_id"""
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval overlap join (view-spans x click-spans) via time bucketing:
+    equi-join on the chunk id + exact predicate + emit-once-at-overlap-start
+    — never the theta-join cross product, no distinct shuffle."""
+    from polycheck_spark.operators import temporal as TP
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+
+    def spans(kind, mod):
+        return (ev.filter(F.col("event_type") == kind)
+                .select(F.col("event_id"), ms.alias("start_ms"),
+                        (ms + (F.col("event_id") % mod + 1) * 1000)
+                        .alias("end_ms")))
+
+    out = TP.interval_join(spans("view", 50), spans("click", 30),
+                           bucket_ms=60_000,
+                           left_id="event_id", right_id="event_id")
+    return out.orderBy("l_id", "r_id")
+
+
+def _interval_overlap_oracle() -> str:
+    from polycheck_spark.operators import temporal as TP
+
+    def spans(kind, mod):
+        return (f"SELECT event_id, epoch_ms(ts) AS start_ms,"
+                f" epoch_ms(ts) + (event_id % {mod} + 1) * 1000 AS end_ms"
+                f" FROM events WHERE event_type = '{kind}'")
+
+    return (TP.interval_join_sql(spans("view", 50), spans("click", 30),
+                                 left_id="event_id", right_id="event_id")
+            + " ORDER BY l_id, r_id")
+
+
 # --- corpus-level line dedup -------------------------------------------------
 # runs on the lined corpus (the boilerplate fixtures): the injected
 # BOILERPLATE_LINE appears in every 3rd doc and must survive ONLY in doc 0;
@@ -2284,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "common_ngrams": q_common_ngrams,
         "dedup_survivors": q_dedup_survivors,
+        "interval_overlap": q_interval_overlap,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2501,6 +2535,7 @@ ORDER BY a, b""",
         "common_ngrams": (D.common_shingle_stats_sql("documents", min_df=2)
                           + " ORDER BY doc_id"),
         "dedup_survivors": _dedup_survivors_oracle(),
+        "interval_overlap": _interval_overlap_oracle(),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

@@ -124,3 +124,39 @@ def test_shards_preserve_output_exactly(spark):
     with _pt.raises(ValueError, match="shards"):
         asof_join(ev, sn, on=["k"], left_ts="ts", right_ts="ts",
                   value_cols=["snap"], shards=0)
+
+
+def test_interval_join_equals_bruteforce(spark):
+    """Bucketed interval join == brute-force theta join: multi-bucket
+    spans, touching endpoints (overlap 0), and no duplicate pairs."""
+    from polycheck_spark.operators.temporal import interval_join
+    left = spark.range(200).selectExpr(
+        "id AS l_id",
+        "(id * 2654435761) % 100000 AS start_ms",
+        "(id * 2654435761) % 100000 + (id % 70 + 1) * 137 AS end_ms")
+    right = spark.range(200).selectExpr(
+        "id AS r_id",
+        "(id * 40503) % 100000 AS start_ms",
+        "(id * 40503) % 100000 + (id % 90 + 1) * 91 AS end_ms")
+    got = sorted(tuple(r) for r in interval_join(
+        left, right, bucket_ms=500,
+        left_id="l_id", right_id="r_id").collect())
+    exp = sorted(
+        (l.l_id, r.r_id, min(l.end_ms, r.end_ms) - max(l.start_ms, r.start_ms))
+        for l in left.collect() for r in right.collect()
+        if l.start_ms <= r.end_ms and r.start_ms <= l.end_ms)
+    assert got == exp and len(got) > 0
+    assert len(got) == len(set((a, b) for a, b, _ in got))  # emit-once
+
+
+def test_interval_join_touching_and_validation(spark):
+    from polycheck_spark.operators.temporal import interval_join
+    l = spark.createDataFrame([(1, 0, 100)], "l_id long, start_ms long, end_ms long")
+    r = spark.createDataFrame([(2, 100, 200), (3, 101, 200)],
+                              "r_id long, start_ms long, end_ms long")
+    out = {(x.l_id, x.r_id): x.overlap_ms for x in
+           interval_join(l, r, bucket_ms=64).collect()}
+    assert out == {(1, 2): 0}          # closed endpoints touch; (1,3) misses
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bucket_ms"):
+        interval_join(l, r, bucket_ms=0)
