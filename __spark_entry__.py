@@ -1642,6 +1642,16 @@ FROM events l ASOF LEFT JOIN snaps r
 ORDER BY l.event_id"""
 
 
+OOV_VOCAB = 400  # small enough that the cut BITES on the sf corpora
+
+
+def q_oov_rate(spark, sf_dir):
+    """Per-doc OOV counts against the corpus top-V vocabulary: token-keyed
+    count + TakeOrdered for the cut, broadcast-joined scoring pass."""
+    return (TX.oov_stats(_docs(spark, sf_dir), OOV_VOCAB)
+            .orderBy("doc_id"))
+
+
 def q_interval_overlap(spark, sf_dir):
     """Interval overlap join (view-spans x click-spans) via time bucketing:
     equi-join on the chunk id + exact predicate + emit-once-at-overlap-start
@@ -2318,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_ngrams": q_common_ngrams,
         "dedup_survivors": q_dedup_survivors,
         "interval_overlap": q_interval_overlap,
+        "oov_rate": q_oov_rate,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2536,6 +2547,8 @@ ORDER BY a, b""",
                           + " ORDER BY doc_id"),
         "dedup_survivors": _dedup_survivors_oracle(),
         "interval_overlap": _interval_overlap_oracle(),
+        "oov_rate": (TX.oov_stats_sql("documents", OOV_VOCAB)
+                     + " ORDER BY doc_id"),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

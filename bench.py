@@ -204,7 +204,9 @@ def main():
                  "incremental_dedup", "tile_rank", "search_topk",
                  "robots_filter", "unigram_quality",
                  "media_decode", "image_near_dup", "audio_features",
-                 "events_asof", "line_dedup", "lang_mix", "quality_topq"]:
+                 "events_asof", "line_dedup", "lang_mix", "quality_topq",
+                 "bloom_inc_dedup", "containment", "common_ngrams",
+                 "dedup_survivors", "interval_overlap", "oov_rate"]:
         best = None
         for _ in range(2):
             t0 = time.time()

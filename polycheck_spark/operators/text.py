@@ -737,3 +737,67 @@ SELECT {id_col}, freq_sum, n_toks,
             AS INT) AS above_mean
 FROM uq_doc, uq_tot
 """
+
+
+# --- OOV rate against a bounded vocabulary ------------------------------------
+
+def oov_stats(docs: DataFrame, vocab_size: int, *, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per doc: token count and out-of-vocabulary token count against the
+    corpus's own top-``vocab_size`` vocabulary (by occurrences) —
+    ``(id, n_tokens, n_oov)``.  ``n_oov / n_tokens`` is the OOV rate used
+    to size tokenizer vocabularies and to flag gibberish/byte-noise pages
+    (a clean page's tokens are overwhelmingly head-vocabulary; OCR junk and
+    binary-in-text pages are mostly tail).
+
+    Shape for scale: the vocabulary is token-keyed counting (map-side
+    combined, linear) + TakeOrdered for the top slice — never a global
+    sort — and the per-doc pass is explode -> BROADCAST hash join against
+    the ``vocab_size``-row table (pinned; vocab_size is a config constant,
+    so the build side is bounded by construction) -> doc-keyed count.  The
+    corpus is touched twice (vocab build, scoring) — in production the
+    vocabulary is built once and reused across scoring runs.
+    Deterministic tie-break at the vocabulary cut: occurrences desc, token
+    asc.  Zero-token docs keep ``0/0`` via a left join from the doc ids.
+    """
+    tok = docs.select(F.col(id_col).alias("id"),
+                      F.explode(tokens_col(F.col(text_col))).alias("token"))
+    vocab = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("occ"))
+             .orderBy(F.col("occ").desc(), F.col("token").asc())
+             .limit(vocab_size)
+             .select("token", F.lit(True).alias("__in_vocab")))
+    scored = (tok.join(F.broadcast(vocab), "token", "left")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.count(F.when(F.col("__in_vocab").isNull(), 1))
+                   .alias("n_oov")))
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (ids.join(scored, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_tokens", F.lit(0).cast("long"))
+                    .alias("n_tokens"),
+                    F.coalesce("n_oov", F.lit(0).cast("long"))
+                    .alias("n_oov")))
+
+
+def oov_stats_sql(table: str, vocab_size: int, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """DuckDB twin of :func:`oov_stats` (same vocabulary cut and
+    tie-break; conditional COUNT stays BIGINT)."""
+    return f"""
+WITH ov_tok AS (
+  SELECT {id_col} AS id, unnest({_tokens_sql(text_col)}) AS token
+  FROM {table}),
+ov_vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS occ FROM ov_tok GROUP BY token)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY occ DESC, token ASC) <= {vocab_size}),
+ov_doc AS (
+  SELECT t.id, COUNT(*) AS n_tokens,
+         COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov
+  FROM ov_tok t LEFT JOIN ov_vocab v USING (token) GROUP BY t.id)
+SELECT d.{id_col} AS {id_col},
+       coalesce(o.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       coalesce(o.n_oov, CAST(0 AS BIGINT)) AS n_oov
+FROM {table} d LEFT JOIN ov_doc o ON o.id = d.{id_col}
+"""

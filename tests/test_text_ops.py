@@ -981,3 +981,24 @@ def test_duplicate_span_dedup_matches_duckdb(spark, tmp_path):
     con.close()
     assert got == want
     assert any(r[2] > 0 for r in got)  # the corpus really has dup spans
+
+
+def test_oov_stats_cut_and_zero_docs(spark):
+    """Vocabulary cut by (occurrences desc, token asc); OOV counts are
+    instance counts; zero-token docs keep 0/0."""
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc"),   # occ: aa=3(+1 below)=4, bb=2(+1)=3, cc=1(+1)=2
+         (2, "aa bb cc dd"),         # dd occ 1: below the V=3 cut
+         (3, "")],                   # zero tokens
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           TX.oov_stats(docs, vocab_size=3).collect()}
+    # vocab = {aa, bb, cc}; dd is OOV
+    assert out[1].n_tokens == 6 and out[1].n_oov == 0
+    assert out[2].n_tokens == 4 and out[2].n_oov == 1
+    assert out[3].n_tokens == 0 and out[3].n_oov == 0
+    # tie at the cut resolves by token asc: with V=2, cc (occ 2) loses to
+    # nothing — but with occ ties (bb=3 unique here) ordering is total
+    out2 = {r.doc_id: r for r in
+            TX.oov_stats(docs, vocab_size=2).collect()}
+    assert out2[1].n_oov == 1 and out2[2].n_oov == 2   # cc + dd now OOV
