@@ -1642,6 +1642,14 @@ FROM events l ASOF LEFT JOIN snaps r
 ORDER BY l.event_id"""
 
 
+def q_sample_exact_k(spark, sf_dir):
+    """Exact-k per-stratum deterministic sample (eval-set construction):
+    hash-ranked within each lang, exactly min(k, n) survivors."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (SA.sample_exact_k(docs, "doc_id", "lang", 40)
+            .orderBy("lang", "sample_rank"))
+
+
 OOV_VOCAB = 400  # small enough that the cut BITES on the sf corpora
 
 
@@ -2329,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "interval_overlap": q_interval_overlap,
         "oov_rate": q_oov_rate,
+        "sample_exact_k": q_sample_exact_k,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2549,6 +2558,9 @@ ORDER BY a, b""",
         "interval_overlap": _interval_overlap_oracle(),
         "oov_rate": (TX.oov_stats_sql("documents", OOV_VOCAB)
                      + " ORDER BY doc_id"),
+        "sample_exact_k": (SA.sample_exact_k_sql(
+            "(SELECT doc_id, lang FROM documents)", "doc_id", "lang", 40)
+            + " ORDER BY lang, sample_rank"),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

@@ -206,7 +206,8 @@ def main():
                  "media_decode", "image_near_dup", "audio_features",
                  "events_asof", "line_dedup", "lang_mix", "quality_topq",
                  "bloom_inc_dedup", "containment", "common_ngrams",
-                 "dedup_survivors", "interval_overlap", "oov_rate"]:
+                 "dedup_survivors", "interval_overlap", "oov_rate",
+                 "sample_exact_k"]:
         best = None
         for _ in range(2):
             t0 = time.time()

@@ -213,3 +213,58 @@ SELECT * EXCLUDE (__rk, __n) FROM (
   FROM {table} t)
 WHERE __rk * {den} <= __n * {num}
 """
+
+
+def sample_exact_k(df: DataFrame, key_col: str, stratum_col: str, k: int, *,
+                   salt: str = "s0", shards: int = 1) -> DataFrame:
+    """EXACTLY ``min(k, |stratum|)`` rows per stratum, deterministically:
+    rows ranked by ``(md5(salt:key), key)`` within their stratum, ranks
+    ``<= k`` kept (rank exposed as ``sample_rank``).  Rate-based sampling
+    (:func:`sample_hash`) yields a binomial count per stratum; eval-set
+    construction and per-class balancing need the count pinned — same
+    determinism contract (pure function of the key, stable under
+    repartitioning, engine-portable).
+
+    Scale: rank-by-window is one hash shuffle on the stratum plus a
+    per-stratum sort — fine until one stratum is corpus-sized.  For that,
+    ``shards > 1`` pre-cuts with a two-stage top-k: stage 1 ranks within
+    ``(stratum, hash-shard)`` and keeps k per shard (each shard's sort is
+    ``|stratum|/shards``), stage 2 re-ranks the ``<= shards*k`` survivors —
+    the global top-k by hash is contained in the union of per-shard
+    top-k's, so the output is EXACTLY the ``shards=1`` result
+    (pytest-pinned), the same replicate-and-refine trick the as-of join
+    uses for hot keys.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        1, 8), 16, 10).cast("long")
+    base = df.withColumn("__h", h)
+    if shards > 1:
+        w1 = (Window.partitionBy(F.col(stratum_col),
+                                 F.pmod(F.col("__h"), F.lit(shards)))
+              .orderBy(F.col("__h"), F.col(key_col)))
+        base = (base.withColumn("__rn1", F.row_number().over(w1))
+                .filter(F.col("__rn1") <= k).drop("__rn1"))
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(F.col("__h"), F.col(key_col)))
+    return (base.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k).drop("__h"))
+
+
+def sample_exact_k_sql(table: str, key_expr: str, stratum_col: str, k: int,
+                       salt: str = "s0") -> str:
+    """DuckDB twin of :func:`sample_exact_k` (single-stage; the sharded
+    Spark path is pinned equal to it by pytest)."""
+    h = (f"CAST('0x' || substr(md5('{_sq(salt)}:' || CAST({key_expr} AS VARCHAR)), 1, 8) "
+         f"AS BIGINT)")
+    return f"""
+SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY {stratum_col}
+            ORDER BY {h}, {key_expr}) AS BIGINT) AS sample_rank
+FROM {table}
+QUALIFY sample_rank <= {k}
+"""

@@ -158,3 +158,26 @@ def test_top_fraction_per_stratum(spark):
                                     tie_col="k").count() == 23
     assert top_fraction_per_stratum(df, "st", "score", (0, 1),
                                     tie_col="k").count() == 0
+
+
+def test_sample_exact_k_counts_and_shard_equality(spark):
+    from polycheck_spark.operators.sampling import sample_exact_k
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 7 AS STRING) AS lang")
+    out = sample_exact_k(df, "doc_id", "lang", 25)
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 25 for v in counts.values()) and len(counts) == 7
+    # a stratum smaller than k keeps ALL its rows
+    small = df.filter("lang != '0' OR doc_id < 70")  # lang 0 has 10 rows
+    out_small = sample_exact_k(small, "doc_id", "lang", 25)
+    n0 = out_small.filter("lang = '0'").count()
+    assert n0 == 10
+    # sharded two-stage path is bit-equal to the single-stage result
+    base = sorted(map(tuple, sample_exact_k(df, "doc_id", "lang", 25).collect()))
+    shd = sorted(map(tuple, sample_exact_k(df, "doc_id", "lang", 25,
+                                           shards=8).collect()))
+    assert base == shd
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        sample_exact_k(df, "doc_id", "lang", 0)
