@@ -1642,6 +1642,30 @@ FROM events l ASOF LEFT JOIN snaps r
 ORDER BY l.event_id"""
 
 
+SPLITS = [("train", 8), ("val", 1), ("test", 1)]
+
+
+def q_leakfree_split(spark, sf_dir):
+    """Near-dup-safe train/val/test assignment: split hashed from the
+    CLUSTER id, so a page and its near-copies land in the same split by
+    construction — the contamination-proof split naive doc-id hashing
+    can't give."""
+    docs = _docs(spark, sf_dir)
+    assign = (D.cluster_assignments(
+        docs.select("doc_id"), D.lsh_candidate_pairs(docs), id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), "cluster_id"))
+    return (D.leakfree_split(assign, SPLITS)
+            .orderBy("doc_id"))
+
+
+def _leakfree_split_oracle() -> str:
+    assign = D.connected_components_sql(
+        "SELECT doc_id FROM documents",
+        D.lsh_candidate_pairs_sql("documents"),
+        id_col="doc_id", out_id="doc_id")
+    return D.leakfree_split_sql(assign, SPLITS) + " ORDER BY doc_id"
+
+
 def q_sample_exact_k(spark, sf_dir):
     """Exact-k per-stratum deterministic sample (eval-set construction):
     hash-ranked within each lang, exactly min(k, n) survivors."""
@@ -2338,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "oov_rate": q_oov_rate,
         "sample_exact_k": q_sample_exact_k,
+        "leakfree_split": q_leakfree_split,
         # -- semantics or plan changed this round: re-record --
         "repetition_signals": q_repetition_signals,
         "robots_filter": q_robots_filter,
@@ -2561,6 +2586,7 @@ ORDER BY a, b""",
         "sample_exact_k": (SA.sample_exact_k_sql(
             "(SELECT doc_id, lang FROM documents)", "doc_id", "lang", 40)
             + " ORDER BY lang, sample_rank"),
+        "leakfree_split": _leakfree_split_oracle(),
         "boilerplate_strip": f"""
 WITH src AS ({_LINED_CTE})
 SELECT doc_id, n_lines, n_lines_kept, md5(clean_text) AS clean_md5

@@ -207,7 +207,7 @@ def main():
                  "events_asof", "line_dedup", "lang_mix", "quality_topq",
                  "bloom_inc_dedup", "containment", "common_ngrams",
                  "dedup_survivors", "interval_overlap", "oov_rate",
-                 "sample_exact_k"]:
+                 "sample_exact_k", "leakfree_split"]:
         best = None
         for _ in range(2):
             t0 = time.time()

@@ -1199,3 +1199,66 @@ sv_agg AS (
 SELECT {cluster_col}, -best.nid AS {id_col}, best.s AS {score_col}, n_members
 FROM sv_agg
 """
+
+
+# --- leakage-free split assignment --------------------------------------------
+
+def leakfree_split(assignments: DataFrame, splits: list[tuple[str, int]], *,
+                   id_col: str = "doc_id", cluster_col: str = "cluster_id",
+                   salt: str = "split0") -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the split is a deterministic hash of the CLUSTER id, so every
+    member of a near-dup cluster lands in the same split —
+    ``(id, cluster_id, split)``.
+
+    Hashing the document id (what naive pipelines do) puts a page and its
+    near-copy in train and test with probability ``p_train * p_test`` each
+    — at web dup rates that is millions of eval rows the model has
+    memorized.  Keying the hash on the cluster label closes the leak by
+    construction; the split ratio then applies to CLUSTERS, which at
+    realistic cluster-size distributions is within noise of the row ratio
+    (and exact on singletons).
+
+    ``splits`` is ``[(name, weight), ...]``; buckets ``md5(salt:cluster)
+    % sum(weights)`` map to names by cumulative range — integer-exact,
+    engine-portable, stable under repartitioning.  Map-side only (one
+    projection over the assignments frame): the cluster computation
+    upstream is where the shuffles live.
+    """
+    if not splits or any(w <= 0 for _, w in splits):
+        raise ValueError("splits must be non-empty with positive weights")
+    den = sum(w for _, w in splits)
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"),
+                       F.col(cluster_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(den))
+    # cumulative CASE from the left: ranges [0,w0), [w0,w0+w1), ...
+    cum = 0
+    expr = None
+    for name, w in splits:
+        cond = (bucket >= cum) & (bucket < cum + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        cum += w
+    return assignments.select(
+        F.col(id_col), F.col(cluster_col), expr.alias("split"))
+
+
+def leakfree_split_sql(assign_cte: str, splits: list[tuple[str, int]], *,
+                       id_col: str = "doc_id",
+                       cluster_col: str = "cluster_id",
+                       salt: str = "split0") -> str:
+    """DuckDB twin of :func:`leakfree_split`."""
+    den = sum(w for _, w in splits)
+    h = (f"CAST('0x' || substr(md5('{salt}:' || "
+         f"CAST({cluster_col} AS VARCHAR)), 1, 8) AS BIGINT)")
+    cases, cum = [], 0
+    for name, w in splits:
+        cases.append(f"WHEN __b >= {cum} AND __b < {cum + w} THEN '{name}'")
+        cum += w
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH lf_a AS ({assign_cte}),
+lf_b AS (SELECT {id_col}, {cluster_col}, ({h} % {den}) AS __b FROM lf_a)
+SELECT {id_col}, {cluster_col}, {case} AS split FROM lf_b
+"""

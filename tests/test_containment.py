@@ -80,3 +80,27 @@ def test_select_survivors_argmax_and_ties(spark):
     # singletons survive as themselves
     assert out[7].doc_id == 7 and out[7].n_members == 1
     assert out[8].doc_id == 8 and out[8].score == 0
+
+
+def test_leakfree_split_clusters_stay_together(spark):
+    from polycheck_spark.operators.dedup import leakfree_split
+    # 300 clusters of 1-3 members
+    assign = spark.range(600).selectExpr(
+        "id AS doc_id", "CAST(id % 300 AS long) AS cluster_id")
+    out = leakfree_split(assign, [("train", 8), ("val", 1), ("test", 1)])
+    rows = out.collect()
+    assert len(rows) == 600 and all(r.split in {"train", "val", "test"}
+                                    for r in rows)
+    # every cluster maps to exactly ONE split
+    per = {}
+    for r in rows:
+        per.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in per.values())
+    # ratio sanity on clusters (binomial: 300 clusters, p_train=0.8)
+    n_train_clusters = sum(1 for s in per.values() if s == {"train"})
+    assert 200 < n_train_clusters < 290
+    import pytest as _pt
+    with _pt.raises(ValueError, match="splits"):
+        leakfree_split(assign, [])
+    with _pt.raises(ValueError, match="splits"):
+        leakfree_split(assign, [("a", 0)])
