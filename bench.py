@@ -205,6 +205,7 @@ def main():
                  "robots_filter", "unigram_quality",
                  "media_decode", "image_near_dup", "audio_features",
                  "events_asof", "line_dedup", "lang_mix", "quality_topq",
+                 "duplicate_spans",
                  "bloom_inc_dedup", "containment", "common_ngrams",
                  "dedup_survivors", "interval_overlap", "oov_rate",
                  "sample_exact_k", "leakfree_split"]:
