@@ -208,7 +208,9 @@ def main():
                  "duplicate_spans",
                  "bloom_inc_dedup", "containment", "common_ngrams",
                  "dedup_survivors", "interval_overlap", "oov_rate",
-                 "sample_exact_k", "leakfree_split"]:
+                 "sample_exact_k", "leakfree_split",
+                 "frontier", "tile_smooth", "dwell_segments",
+                 "quality_classify"]:
         best = None
         for _ in range(2):
             t0 = time.time()

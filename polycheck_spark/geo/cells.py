@@ -241,11 +241,17 @@ def _spread_sql(expr: str) -> str:
     return x
 
 
-def cell_id_sql(lon_expr: str, lat_expr: str, res: int) -> str:
-    """ANSI/DuckDB SQL string computing the same cell_id."""
+def ixiy_sql(lon_expr: str, lat_expr: str, res: int) -> tuple[str, str]:
+    """SQL twins of :func:`ixiy_cols` — clamped integer grid indices."""
     n = 1 << res
     ix = f"LEAST(GREATEST(CAST(FLOOR((({lon_expr}) + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
     iy = f"LEAST(GREATEST(CAST(FLOOR((({lat_expr}) + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+    return ix, iy
+
+
+def cell_id_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """ANSI/DuckDB SQL string computing the same cell_id."""
+    ix, iy = ixiy_sql(lon_expr, lat_expr, res)
     return f"({res << RES_SHIFT} | ({_spread_sql(ix)} | ({_spread_sql(iy)} << 1)))"
 
 

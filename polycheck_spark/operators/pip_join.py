@@ -310,3 +310,73 @@ def tile_rollup_sql(points_cte: str, res_fine: int, res_coarse: int) -> str:
             f"COUNT(*) AS n_docs FROM pts GROUP BY 2")
     body = " UNION ALL ".join(parts)
     return f"WITH pts AS ({points_cte}) {body}"
+
+
+def tile_smooth(points: DataFrame, res: int,
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """3x3 neighborhood-smoothed tile density (the map-tile hot-spot /
+    kernel-density prepass: each occupied cell's count plus all eight
+    neighbors' counts).
+
+    Output: one row per OCCUPIED cell — (ix, iy, n_docs, n_docs_3x3) with
+    integer grid coordinates at ``res`` (n_docs_3x3 sums only occupied
+    neighbors; empty cells contribute zero and emit nothing).
+
+    Shape: a single LINEAR plan — the input is scanned and shuffled ONCE
+    (the per-cell groupBy with map-side partial agg); everything after runs
+    on the aggregated relation, bounded by min(|input|, 4^res) rows, never
+    the raw points.  Each occupied cell scatters its count to its 9
+    neighbor positions (an in-grid array explode, x9 on the small side)
+    with the center contribution tagged separately, so ONE second groupBy
+    yields both the smoothed sum and the cell's own count — no join back,
+    no second scan of the points, nothing to re-materialize (the
+    scatter/join-back alternative read the aggregation twice: a DAG the
+    optimizer only deduplicates via physical exchange reuse, which AQE may
+    decline).  Cells whose own count is zero (pure neighbors of occupied
+    mass) are filtered at the end.  Grid edges clamp by OMISSION:
+    out-of-grid neighbor positions are dropped, matching the oracle's
+    WHERE bounds.  No UDF, no driver state.
+    """
+    if not 0 <= res <= C.MAX_RES:
+        raise ValueError(f"res must be in [0, {C.MAX_RES}]")
+    n = 1 << res
+    ix, iy = C.ixiy_cols(F.col(lon_col), F.col(lat_col), res)
+    occ = (points.select(ix.alias("ix"), iy.alias("iy"))
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n_docs")))
+    nb = F.explode(F.array(*[
+        F.struct((F.col("ix") + F.lit(dx)).alias("jx"),
+                 (F.col("iy") + F.lit(dy)).alias("jy"),
+                 (F.col("n_docs") if dx == 0 and dy == 0
+                  else F.lit(0).cast("long")).alias("own"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("nb")
+    return (occ.select(nb, "n_docs")
+            .select(F.col("nb.jx").alias("ix"), F.col("nb.jy").alias("iy"),
+                    F.col("nb.own").alias("own"), "n_docs")
+            .filter((F.col("ix") >= 0) & (F.col("ix") < n)
+                    & (F.col("iy") >= 0) & (F.col("iy") < n))
+            .groupBy("ix", "iy")
+            .agg(F.sum("own").cast("long").alias("n_docs"),
+                 F.sum("n_docs").cast("long").alias("n_docs_3x3"))
+            .filter(F.col("n_docs") > 0)
+            .select("ix", "iy", "n_docs", "n_docs_3x3"))
+
+
+def tile_smooth_sql(points_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`tile_smooth` (gather formulation: per occupied
+    cell, sum counts over the 9-offset cross join — equal to the scatter
+    formulation by symmetry of the offset set)."""
+    ix, iy = C.ixiy_sql("lon", "lat", res)
+    n = 1 << res
+    return f"""
+WITH occ AS (
+  SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS n_docs
+  FROM ({points_cte}) GROUP BY 1, 2),
+offs AS (SELECT dx, dy FROM (VALUES (-1),(0),(1)) a(dx), (VALUES (-1),(0),(1)) b(dy)),
+sm AS (
+  SELECT o.ix + dx AS ix, o.iy + dy AS iy, SUM(o.n_docs) AS n_docs_3x3
+  FROM occ o, offs
+  WHERE o.ix + dx BETWEEN 0 AND {n - 1} AND o.iy + dy BETWEEN 0 AND {n - 1}
+  GROUP BY 1, 2)
+SELECT occ.ix, occ.iy, occ.n_docs, CAST(sm.n_docs_3x3 AS BIGINT) AS n_docs_3x3
+FROM occ JOIN sm USING (ix, iy)
+"""

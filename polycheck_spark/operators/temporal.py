@@ -189,3 +189,76 @@ SELECT l.{left_id} AS l_id, r.{right_id} AS r_id,
 FROM ij_l l JOIN ij_r r
   ON l.start_ms <= r.end_ms AND r.start_ms <= l.end_ms
 """
+
+
+# --- dwell-segment (stay-point) detection -------------------------------------
+
+def dwell_segments(events: DataFrame, *, key_col: str = "user_id",
+                   ts_col: str = "ts", cell_cols: tuple[str, str] = ("ix", "iy"),
+                   order_col: str = "event_id") -> DataFrame:
+    """Trajectory stay-point detection: collapse each entity's consecutive
+    run of events in the SAME grid cell into one dwell segment.
+
+    Per key, events are ordered by ``(ts, order_col)``; a new segment opens
+    whenever the cell differs from the previous event's cell (classic
+    gaps-and-islands).  Output: one row per segment —
+    (key, seg_no, ix, iy, n_events, enter_ms, leave_ms, dwell_ms) where
+    ``dwell_ms = leave_ms - enter_ms`` (a single-event segment dwells 0).
+
+    Shape: ONE hash shuffle on the key plus the per-key sort (lag + running
+    sum share the same window frame, so Catalyst evaluates both in one
+    Window node); the segment aggregation groups by (key, seg_no) — a
+    second, strictly smaller shuffle.  The key is the unit of parallelism;
+    a pathological single-entity stream serializes its sort, the same
+    documented contract as :func:`asof_join` (salting does not apply here:
+    run boundaries need the full ordered sequence of a key on one node).
+    Timestamps are compared as epoch millis (cast through TIMESTAMP so
+    TIMESTAMP_NTZ inputs work; session tz is UTC in this engine).
+    """
+    cx, cy = cell_cols
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    moved = F.when(
+        F.lag(cx).over(w).isNull()
+        | (F.lag(cx).over(w) != F.col(cx))
+        | (F.lag(cy).over(w) != F.col(cy)), 1).otherwise(0)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    seg = (events
+           .withColumn("__seg", F.sum(moved).over(w).cast("long"))
+           .withColumn("__ms", ms))
+    return (seg.groupBy(F.col(key_col), F.col("__seg").alias("seg_no"))
+            .agg(F.min(cx).alias(cx), F.min(cy).alias(cy),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.min("__ms").alias("enter_ms"),
+                 F.max("__ms").alias("leave_ms"))
+            .withColumn("dwell_ms",
+                        (F.col("leave_ms") - F.col("enter_ms")).cast("long")))
+
+
+def dwell_segments_sql(events_cte: str, *, key_col: str = "user_id",
+                       ts_col: str = "ts",
+                       cell_cols: tuple[str, str] = ("ix", "iy"),
+                       order_col: str = "event_id") -> str:
+    """DuckDB twin of :func:`dwell_segments` (same lag + running-sum
+    gaps-and-islands; epoch_ms on the raw timestamp matches Spark's
+    unix_millis under the engine's UTC session contract)."""
+    cx, cy = cell_cols
+    return f"""
+WITH seq AS (
+  SELECT *, epoch_ms({ts_col}) AS __ms,
+         CASE WHEN lag({cx}) OVER w IS NULL
+                   OR lag({cx}) OVER w <> {cx}
+                   OR lag({cy}) OVER w <> {cy} THEN 1 ELSE 0 END AS __new
+  FROM ({events_cte})
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {order_col})),
+segd AS (
+  SELECT *, CAST(SUM(__new) OVER (PARTITION BY {key_col}
+             ORDER BY {ts_col}, {order_col}
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_no
+  FROM seq)
+SELECT {key_col}, seg_no,
+       MIN({cx}) AS {cx}, MIN({cy}) AS {cy},
+       COUNT(*) AS n_events,
+       MIN(__ms) AS enter_ms, MAX(__ms) AS leave_ms,
+       CAST(MAX(__ms) - MIN(__ms) AS BIGINT) AS dwell_ms
+FROM segd GROUP BY 1, 2
+"""

@@ -801,3 +801,85 @@ SELECT d.{id_col} AS {id_col},
        coalesce(o.n_oov, CAST(0 AS BIGINT)) AS n_oov
 FROM {table} d LEFT JOIN ov_doc o ON o.id = d.{id_col}
 """
+
+
+# --- linear quality-classifier inference ---------------------------------------
+# The fastText-style "model filter" stage of a webtext pipeline, reduced to
+# its relational core: a small per-language weight table (the trained model)
+# joined onto per-doc integer features, one dot product per doc, keep iff the
+# margin clears the bias.  All-integer arithmetic (weights are fixed-point
+# ints chosen by the caller) so the decision boundary is bit-identical across
+# engines — the floating sigmoid is monotone in the margin, so thresholding
+# the integer margin IS thresholding the probability.
+
+#: default per-language weight rows: (lang, w_chars, w_tokens, w_stop, bias).
+#: A doc passes when
+#:   w_chars*n_chars + w_tokens*n_tokens + w_stop*stopword_hits + bias > 0.
+#: Unknown langs fall back to the '*' row.
+DEFAULT_QUALITY_WEIGHTS = [
+    ("en", 1, 40, 25, -2600),
+    ("de", 1, 40, 5, -2200),
+    ("fr", 1, 40, 5, -2200),
+    ("zh", 3, 10, 0, -1800),
+    ("*", 1, 30, 10, -2400),
+]
+
+
+def quality_classify(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", lang_col: str = "lang",
+                     weights: list[tuple] | None = None) -> DataFrame:
+    """Per-language linear classifier over the integer quality features.
+
+    Output: (id, lang, margin BIGINT, keep BOOLEAN).  The weight table is
+    model-as-data: a handful of rows, broadcast-joined by language with a
+    '*' fallback row (left join + coalesce onto the fallback's literals),
+    so retraining swaps a table, not a plan.  The corpus is scanned once,
+    features are whole-stage-codegen Column expressions, the join build
+    side is O(|langs|) — no shuffle keyed on docs at any point.
+    """
+    rows = weights if weights is not None else DEFAULT_QUALITY_WEIGHTS
+    by_lang = {r[0]: r[1:] for r in rows}
+    if "*" not in by_lang:
+        raise ValueError("weights must include a '*' fallback row")
+    fb = by_lang["*"]
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [r for r in rows if r[0] != "*"],
+        "lang string, w_chars long, w_tokens long, w_stop long, bias long")
+    feats = quality_scores(docs, id_col=id_col, text_col=text_col) \
+        .join(docs.select(id_col, lang_col), id_col)
+    j = feats.join(F.broadcast(wdf), on="lang", how="left")
+    margin = (
+        F.coalesce(F.col("w_chars"), F.lit(fb[0])) * F.col("n_chars")
+        + F.coalesce(F.col("w_tokens"), F.lit(fb[1])) * F.col("n_tokens")
+        + F.coalesce(F.col("w_stop"), F.lit(fb[2])) * F.col("stopword_hits")
+        + F.coalesce(F.col("bias"), F.lit(fb[3]))).cast("long")
+    return (j.withColumn("margin", margin)
+            .select(F.col(id_col), F.col("lang"), F.col("margin"),
+                    (F.col("margin") > 0).alias("keep")))
+
+
+def quality_classify_sql(table: str, *, id_col: str = "doc_id",
+                         text_col: str = "text", lang_col: str = "lang",
+                         weights: list[tuple] | None = None) -> str:
+    rows = weights if weights is not None else DEFAULT_QUALITY_WEIGHTS
+    by_lang = {r[0]: r[1:] for r in rows}
+    fb = by_lang["*"]
+    vals = ", ".join(f"('{l}', {a}, {b}, {c}, {d})"
+                     for l, a, b, c, d in rows if l != "*")
+    return f"""
+WITH w(lang, w_chars, w_tokens, w_stop, bias) AS (VALUES {vals}),
+f AS (SELECT q.*, d.{lang_col} AS lang
+      FROM ({quality_scores_sql(table, id_col, text_col)}) q
+      JOIN {table} d USING ({id_col}))
+SELECT {id_col}, lang,
+       CAST(coalesce(w.w_chars, {fb[0]}) * n_chars
+          + coalesce(w.w_tokens, {fb[1]}) * n_tokens
+          + coalesce(w.w_stop, {fb[2]}) * stopword_hits
+          + coalesce(w.bias, {fb[3]}) AS BIGINT) AS margin,
+       (coalesce(w.w_chars, {fb[0]}) * n_chars
+          + coalesce(w.w_tokens, {fb[1]}) * n_tokens
+          + coalesce(w.w_stop, {fb[2]}) * stopword_hits
+          + coalesce(w.bias, {fb[3]})) > 0 AS keep
+FROM f LEFT JOIN w USING (lang)
+"""

@@ -354,3 +354,73 @@ LEFT JOIN (
       WHERE starts_with(pp.pth, r.prefix)) m)
   WHERE rn = 1) w USING ({id_col})
 """
+
+
+# --- crawl-frontier politeness scheduling ------------------------------------
+# The fetch scheduler's core relational step: given candidate URLs with a
+# priority score, emit WHEN each one may be fetched under a per-host
+# politeness delay (one request per host per `delay_ms`).  Reference scope:
+# polycheck has no crawler, but its query surface over per-key ordered
+# assignment (windowed rank) is the same shape as visibility's per-sensor
+# walks; this operator is part of the webtext-pipeline extension surface.
+
+def frontier_schedule(pages: DataFrame, *, id_col: str = "doc_id",
+                      url_col: str = "url", priority_col: str = "priority",
+                      delay_ms: int = 1000) -> DataFrame:
+    """Per-host crawl schedule: canonical-dedup, then rank by priority.
+
+    Steps: (1) collapse URL variants to canonical form (a frontier never
+    fetches the same canonical URL twice), keeping the best (max) priority
+    and the smallest id as the group representative; (2) within each host,
+    order by (priority DESC, canonical_url ASC) and assign fetch slots
+    0,1,2,...; (3) ``fetch_at_ms = slot * delay_ms``.
+
+    Output: (canonical_url, host, rep_id, priority, slot, fetch_at_ms).
+
+    Scale: two shuffles — a groupBy on canonical_url (map-side partial agg,
+    so the wire carries ~one row per distinct URL) and a window keyed on
+    host.  The per-host window is semantically sequential: politeness means
+    one fetch per host per delay, so a host's queue is inherently a serial
+    structure — host skew here is workload shape, not a plan defect.  Slots
+    bound driver state at zero (no collect); hosts partition independently
+    across executors.
+    """
+    from pyspark.sql import Window
+    canon = canonical_url_col(F.col(url_col))
+    cand = (pages
+            .select(F.col(id_col).alias("__id"),
+                    F.col(priority_col).alias("__pr"),
+                    canon.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.min("__id").alias("rep_id"),
+                 F.max("__pr").alias("priority"))
+            .withColumn("host", F.substring_index("canonical_url", "/", 1)))
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("canonical_url").asc())
+    slot = (F.row_number().over(w) - F.lit(1)).cast("long")
+    return (cand.withColumn("slot", slot)
+            .withColumn("fetch_at_ms",
+                        (F.col("slot") * F.lit(int(delay_ms))).cast("long"))
+            .select("canonical_url", "host", "rep_id", "priority",
+                    "slot", "fetch_at_ms"))
+
+
+def frontier_schedule_sql(table: str, id_col: str = "doc_id",
+                          url_col: str = "url",
+                          priority_col: str = "priority",
+                          delay_ms: int = 1000) -> str:
+    c = canonical_url_sql(url_col)
+    return f"""
+SELECT canonical_url, split_part(canonical_url, '/', 1) AS host,
+       rep_id, priority,
+       CAST(row_number() OVER (
+             PARTITION BY split_part(canonical_url, '/', 1)
+             ORDER BY priority DESC, canonical_url ASC) - 1 AS BIGINT) AS slot,
+       CAST((row_number() OVER (
+             PARTITION BY split_part(canonical_url, '/', 1)
+             ORDER BY priority DESC, canonical_url ASC) - 1)
+            * {int(delay_ms)} AS BIGINT) AS fetch_at_ms
+FROM (SELECT {c} AS canonical_url,
+             MIN({id_col}) AS rep_id, MAX({priority_col}) AS priority
+      FROM {table} GROUP BY 1)
+"""

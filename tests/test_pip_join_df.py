@@ -177,3 +177,44 @@ def test_tile_rollup_weighted(spark, sf_dir):
                  for x in out.filter(F.col("res") == 7).collect())
     exp = sorted((x["cell_id"], x["n_docs"]) for x in direct.collect())
     assert got == exp
+
+
+def test_tile_smooth_matches_bruteforce(spark):
+    import numpy as np
+    from polycheck_spark.geo import cells as C
+    from polycheck_spark.operators.pip_join import tile_smooth
+    res = 3
+    n = 1 << res
+    rng = np.random.RandomState(11)
+    lon = rng.uniform(-180, 180, 400)
+    lat = rng.uniform(-90, 90, 400)
+    pts = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)],
+        "lon double, lat double")
+    got = {(r["ix"], r["iy"]): (r["n_docs"], r["n_docs_3x3"])
+           for r in tile_smooth(pts, res).collect()}
+    ix, iy = C.lonlat_to_ixiy(lon, lat, res)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (ix, iy), 1)
+    occupied = 0
+    for gx in range(n):
+        for gy in range(n):
+            if grid[gx, gy] == 0:
+                assert (gx, gy) not in got  # empty cells emit nothing
+                continue
+            occupied += 1
+            sm = grid[max(0, gx-1):gx+2, max(0, gy-1):gy+2].sum()
+            assert got[(gx, gy)] == (grid[gx, gy], sm)
+    assert len(got) == occupied
+
+
+def test_tile_smooth_shuffles_points_once(spark):
+    """The raw points relation must feed exactly ONE exchange: every
+    post-aggregation step (scatter, re-agg, join) runs on the per-cell
+    relation. Counting scans: the points appear once in the plan."""
+    from polycheck_spark.operators.pip_join import tile_smooth
+    pts = spark.range(1000).selectExpr(
+        "cast(id % 360 - 180 as double) as lon",
+        "cast(id % 180 - 90 as double) as lat")
+    plan = tile_smooth(pts, 4)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 1000") == 1

@@ -160,3 +160,33 @@ def test_interval_join_touching_and_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="bucket_ms"):
         interval_join(l, r, bucket_ms=0)
+
+
+def test_dwell_segments_runs_and_boundaries(spark):
+    from datetime import datetime
+    from polycheck_spark.operators.temporal import dwell_segments
+    T0 = datetime(2024, 1, 1)
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 7: A A B B B A  -> 3 segments (revisiting A opens a NEW one)
+        (1, 7, ts(0), 2, 2), (2, 7, ts(1), 2, 2),
+        (3, 7, ts(2), 5, 1), (4, 7, ts(3), 5, 1), (5, 7, ts(4), 5, 1),
+        (6, 7, ts(9), 2, 2),
+        # user 8: single event -> one zero-dwell segment
+        (7, 8, ts(0), 0, 0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, ix long, iy long")
+    got = {(r["user_id"], r["seg_no"]): r
+           for r in dwell_segments(ev).collect()}
+    assert len(got) == 4
+    s1, s2, s3 = got[(7, 1)], got[(7, 2)], got[(7, 3)]
+    assert (s1["ix"], s1["iy"], s1["n_events"]) == (2, 2, 2)
+    assert (s2["ix"], s2["iy"], s2["n_events"]) == (5, 1, 3)
+    assert (s3["ix"], s3["iy"], s3["n_events"]) == (2, 2, 1)
+    assert s1["dwell_ms"] == 60_000 and s2["dwell_ms"] == 120_000
+    assert s3["dwell_ms"] == 0
+    assert got[(8, 1)]["n_events"] == 1 and got[(8, 1)]["dwell_ms"] == 0
+    # segment intervals are disjoint and ordered within the user
+    assert s1["leave_ms"] < s2["enter_ms"] < s2["leave_ms"] < s3["enter_ms"]

@@ -1002,3 +1002,28 @@ def test_oov_stats_cut_and_zero_docs(spark):
     out2 = {r.doc_id: r for r in
             TX.oov_stats(docs, vocab_size=2).collect()}
     assert out2[1].n_oov == 1 and out2[2].n_oov == 2   # cc + dd now OOV
+
+
+def test_quality_classify_margins_and_fallback(spark):
+    from polycheck_spark.operators.text import (
+        quality_classify, DEFAULT_QUALITY_WEIGHTS)
+    import pytest as _pytest
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"),
+         (2, "the cat sat on the mat", "xx"),   # unseen lang -> '*' row
+         (3, "", "en")],
+        "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in quality_classify(docs).collect()}
+    # doc 1 (en): n_chars=22, n_tokens=6, stop_hits counted off the same
+    # STOPWORDS list the operator uses
+    from polycheck_spark.operators.text import STOPWORDS
+    hits = sum(1 for t in "the cat sat on the mat".split()
+               if t in STOPWORDS["en"])
+    w = {r[0]: r[1:] for r in DEFAULT_QUALITY_WEIGHTS}
+    en = w["en"]; fb = w["*"]
+    assert got[1]["margin"] == en[0]*22 + en[1]*6 + en[2]*hits + en[3]
+    assert got[2]["margin"] == fb[0]*22 + fb[1]*6 + fb[2]*hits + fb[3]
+    assert got[3]["margin"] == w["en"][3] and got[3]["keep"] is False
+    assert got[1]["keep"] == (got[1]["margin"] > 0)
+    with _pytest.raises(ValueError):
+        quality_classify(docs, weights=[("en", 1, 1, 1, 0)]).collect()

@@ -262,3 +262,29 @@ def test_domain_block_filter_oversized_list_falls_back_to_join(spark, monkeypatc
     # over the cap the literal array must NOT appear in the plan
     plan = kept._jdf.queryExecution().optimizedPlan().toString()
     assert "arrays_overlap" not in plan
+
+
+def test_frontier_schedule_semantics(spark):
+    from polycheck_spark.operators.web import frontier_schedule
+    pages = spark.createDataFrame(
+        [  # two variants of one canonical URL: dedup keeps max priority, min id
+            (1, "http://a.example.com/p/1", 10),
+            (2, "http://WWW.A.EXAMPLE.COM/p/1?utm=3", 90),
+            (3, "http://a.example.com/p/2", 50),
+            (4, "http://b.example.com/x", 7),
+            (5, "http://b.example.com/y", 7),  # priority tie -> url ASC
+        ],
+        "doc_id long, url string, priority long")
+    rows = {r["canonical_url"]: r
+            for r in frontier_schedule(pages, delay_ms=250).collect()}
+    assert len(rows) == 4
+    merged = rows["a.example.com/p/1"]
+    assert merged["priority"] == 90 and merged["rep_id"] == 1
+    # host a: p/1 (pr 90) before p/2 (pr 50)
+    assert merged["slot"] == 0 and rows["a.example.com/p/2"]["slot"] == 1
+    assert rows["a.example.com/p/2"]["fetch_at_ms"] == 250
+    # host b: equal priority -> lexicographic canonical order
+    assert rows["b.example.com/x"]["slot"] == 0
+    assert rows["b.example.com/y"]["slot"] == 1
+    # slots restart per host and delay multiplies the slot
+    assert all(r["fetch_at_ms"] == r["slot"] * 250 for r in rows.values())
