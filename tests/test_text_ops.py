@@ -1027,3 +1027,19 @@ def test_quality_classify_margins_and_fallback(spark):
     assert got[1]["keep"] == (got[1]["margin"] > 0)
     with _pytest.raises(ValueError):
         quality_classify(docs, weights=[("en", 1, 1, 1, 0)]).collect()
+
+
+def test_quality_classify_plan_broadcast_no_doc_shuffle(spark):
+    """The weight table must broadcast and the corpus must never be
+    shuffled: the only acceptable exchanges are broadcast exchanges."""
+    from polycheck_spark.operators.text import quality_classify
+    docs = spark.range(2000).selectExpr(
+        "id AS doc_id", "concat('the cat ', CAST(id AS STRING)) AS text",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'xx' END AS lang")
+    plan = quality_classify(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "Broadcast" in line, line   # no hash/range repartition

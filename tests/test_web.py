@@ -288,3 +288,21 @@ def test_frontier_schedule_semantics(spark):
     assert rows["b.example.com/y"]["slot"] == 1
     # slots restart per host and delay multiplies the slot
     assert all(r["fetch_at_ms"] == r["slot"] * 250 for r in rows.values())
+
+
+def test_frontier_schedule_plan_two_shuffles(spark):
+    """Exactly two data shuffles: the canonical-url groupBy (map-side
+    partial agg) and the per-host window. Anything more means the plan
+    re-keys the corpus somewhere it shouldn't."""
+    from polycheck_spark.operators.web import frontier_schedule
+    pages = spark.range(5000).selectExpr(
+        "id AS doc_id",
+        "concat('http://h', CAST(id % 40 AS STRING), '.com/p/', "
+        "CAST(id AS STRING)) AS url",
+        "id % 7 AS priority")
+    plan = frontier_schedule(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    n_exchanges = sum(1 for line in plan.splitlines()
+                      if "Exchange hashpartitioning" in line)
+    assert n_exchanges == 2, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final url dedup
