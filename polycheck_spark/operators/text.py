@@ -66,11 +66,14 @@ FROM {table}
 
 # --- quality scoring ---------------------------------------------------------
 
-def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Length / mean-token-length / stopword-ratio quality features.
 
     Ratios are returned as exact integer pairs (numerator, denominator) so the
-    oracle comparison is float-drift-free.
+    oracle comparison is float-drift-free.  ``keep_cols`` carries extra input
+    columns through the projection so downstream consumers never need a
+    corpus self-join to re-attach them.
     """
     toks = tokens_col(F.col(text_col))
     stops = STOPWORDS["en"]
@@ -81,18 +84,21 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.size(toks).alias("n_tokens"),
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("token_chars"),
         stop_hits.alias("stopword_hits"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
-def quality_scores_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+def quality_scores_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
+                       keep_cols: tuple[str, ...] = ()) -> str:
     stops = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
     t = _tokens_sql(text_col)
+    extra = "".join(f", {c}" for c in keep_cols)
     return f"""
 SELECT {id_col},
        CAST(length({text_col}) AS INT) AS n_chars,
        CAST(len({t}) AS INT) AS n_tokens,
        CAST(coalesce(list_sum(list_transform({t}, x -> length(x))), 0) AS INT) AS token_chars,
-       CAST(len(list_filter({t}, x -> x in ({stops}))) AS INT) AS stopword_hits
+       CAST(len(list_filter({t}, x -> x in ({stops}))) AS INT) AS stopword_hits{extra}
 FROM {table}
 """
 
@@ -835,7 +841,8 @@ def quality_classify(docs: DataFrame, *, id_col: str = "doc_id",
     '*' fallback row (left join + coalesce onto the fallback's literals),
     so retraining swaps a table, not a plan.  The corpus is scanned once,
     features are whole-stage-codegen Column expressions, the join build
-    side is O(|langs|) — no shuffle keyed on docs at any point.
+    side is O(|langs|) — no shuffle OR join keyed on docs at any point
+    (the lang column rides the feature projection itself; plan-pinned).
     """
     rows = weights if weights is not None else DEFAULT_QUALITY_WEIGHTS
     by_lang = {r[0]: r[1:] for r in rows}
@@ -846,8 +853,10 @@ def quality_classify(docs: DataFrame, *, id_col: str = "doc_id",
     wdf = spark.createDataFrame(
         [r for r in rows if r[0] != "*"],
         "lang string, w_chars long, w_tokens long, w_stop long, bias long")
-    feats = quality_scores(docs, id_col=id_col, text_col=text_col) \
-        .join(docs.select(id_col, lang_col), id_col)
+    feats = quality_scores(docs, id_col=id_col, text_col=text_col,
+                           keep_cols=(lang_col,))
+    if lang_col != "lang":
+        feats = feats.withColumnRenamed(lang_col, "lang")
     j = feats.join(F.broadcast(wdf), on="lang", how="left")
     margin = (
         F.coalesce(F.col("w_chars"), F.lit(fb[0])) * F.col("n_chars")
@@ -869,9 +878,8 @@ def quality_classify_sql(table: str, *, id_col: str = "doc_id",
                      for l, a, b, c, d in rows if l != "*")
     return f"""
 WITH w(lang, w_chars, w_tokens, w_stop, bias) AS (VALUES {vals}),
-f AS (SELECT q.*, d.{lang_col} AS lang
-      FROM ({quality_scores_sql(table, id_col, text_col)}) q
-      JOIN {table} d USING ({id_col}))
+f AS ({quality_scores_sql(table, id_col, text_col,
+                          keep_cols=(f"{lang_col} AS lang",))})
 SELECT {id_col}, lang,
        CAST(coalesce(w.w_chars, {fb[0]}) * n_chars
           + coalesce(w.w_tokens, {fb[1]}) * n_tokens

@@ -1036,10 +1036,15 @@ def test_quality_classify_plan_broadcast_no_doc_shuffle(spark):
     docs = spark.range(2000).selectExpr(
         "id AS doc_id", "concat('the cat ', CAST(id AS STRING)) AS text",
         "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'xx' END AS lang")
-    plan = quality_classify(docs)._jdf.queryExecution() \
-        .executedPlan().toString()
+    q = quality_classify(docs)._jdf.queryExecution()
+    plan = q.executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "Broadcast" in line, line   # no hash/range repartition
+    # the corpus is scanned ONCE and joined ONCE (the weight table): the
+    # lang column rides the feature projection, never a corpus self-join
+    opt = q.optimizedPlan().toString()
+    assert opt.count("Range (0, 2000") == 1, opt
+    assert plan.count("Join") == plan.count("BroadcastHashJoin") == 1, plan
