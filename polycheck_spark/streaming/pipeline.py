@@ -257,3 +257,115 @@ def stream_tile_counts(spark: SparkSession, source_dir: str, *,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming stay-point detection -------------------------------------------
+
+TRAJ_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("ix", T.LongType()),
+    T.StructField("iy", T.LongType()),
+])
+
+DWELL_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("seg_no", T.LongType()),
+    T.StructField("ix", T.LongType()),
+    T.StructField("iy", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("enter_ms", T.LongType()),
+    T.StructField("leave_ms", T.LongType()),
+    T.StructField("dwell_ms", T.LongType()),
+])
+
+# the ONE open segment per user: cell, running count, enter/leave, seg_no
+_DWELL_STATE_SCHEMA = T.StructType([
+    T.StructField("ix", T.LongType()),
+    T.StructField("iy", T.LongType()),
+    T.StructField("seg_no", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("enter_ms", T.LongType()),
+    T.StructField("leave_ms", T.LongType()),
+])
+
+
+def stream_dwell_segments(spark: SparkSession, source_dir: str, *,
+                          out_dir: str, checkpoint_dir: str,
+                          available_now: bool = True,
+                          max_files_per_trigger: int | None = 1):
+    """Streaming twin of :func:`polycheck_spark.operators.temporal.
+    dwell_segments`: stay-point detection where a dwell segment may SPAN
+    micro-batches — the live-trajectory shape a batch gaps-and-islands
+    rewrite cannot give you, because the run that is open when a batch
+    ends must keep accumulating when the next batch arrives.
+
+    State per user is exactly ONE open segment (cell, count, enter/leave
+    millis, running seg_no) — O(1) per user, O(|users|) total, independent
+    of stream length (contrast the windowed dedup above, whose state is
+    capped but data-dependent).  A segment is emitted when it CLOSES (the
+    user moves to a different cell); the final open segment of each user
+    is never emitted by an unbounded stream — batch-equivalence is
+    therefore asserted against the batch operator's non-final segments,
+    and seg_no numbering matches the batch operator exactly.
+
+    Ordering contract (same class as the windowed dedup's file-order
+    determinism): per user, events must arrive in event-time order ACROSS
+    micro-batches — the file source's lexicographic file order is the
+    arrival order, and each micro-batch is sorted by (ts, event_id)
+    internally.  A cross-batch out-of-order event would open a spurious
+    segment; feeding from a log that is append-ordered per user (the
+    usual tracker shape) satisfies the contract.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(TRAJ_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (reader.parquet(source_dir)
+              .withColumn("ms", F.unix_millis(F.col("ts").cast("timestamp")))
+              .select("user_id", "event_id", "ms", "ix", "iy"))
+
+    def walk(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            cur = list(state.get)          # [ix, iy, seg_no, n, enter, leave]
+        else:
+            cur = None
+        rows = [(m, e, x, y) for pdf in pdfs
+                for m, e, x, y in zip(pdf["ms"], pdf["event_id"],
+                                      pdf["ix"], pdf["iy"])]
+        out = []
+        uid = key[0]
+        for ms, _eid, ix, iy in sorted(rows):
+            ms, ix, iy = int(ms), int(ix), int(iy)
+            if cur is not None and ix == cur[0] and iy == cur[1]:
+                cur[3] += 1
+                cur[5] = ms
+            else:
+                if cur is not None:
+                    out.append((uid, cur[2], cur[0], cur[1], cur[3],
+                                cur[4], cur[5], cur[5] - cur[4]))
+                seg_no = 1 if cur is None else cur[2] + 1
+                cur = [ix, iy, seg_no, 1, ms, ms]
+        if cur is not None:
+            state.update(tuple(cur))
+        yield pd.DataFrame(
+            out, columns=["user_id", "seg_no", "ix", "iy", "n_events",
+                          "enter_ms", "leave_ms", "dwell_ms"])
+
+    segs = stream.groupBy("user_id").applyInPandasWithState(
+        walk, DWELL_OUT_SCHEMA, _DWELL_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}")
+
+    writer = (segs.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -254,3 +254,52 @@ def test_stream_dedup_against_corpus_equals_batch_join(spark, tmp_path):
     assert got == exp and len(got) == 600
     statuses = {t[2] for t in got}
     assert statuses == {"new", "dup_of_corpus"}
+
+
+def test_stream_dwell_segments_spans_batches(spark, tmp_path):
+    """A dwell run OPEN at a micro-batch boundary must keep accumulating in
+    the next batch (one segment, not two), closed segments must equal the
+    batch operator's non-final segments, and per-user state is one tuple."""
+    import time as _time
+    from datetime import datetime
+    from polycheck_spark.operators.temporal import dwell_segments
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    # user 7: A(0-3) B(4-12, SPANS the file boundary at minute 10) A(13-15)
+    # user 8: one cell throughout -> only an open segment, nothing emitted
+    rows1 = ([(m, 7, ts(m), 2, 2) for m in range(0, 4)]
+             + [(100 + m, 7, ts(m), 5, 1) for m in range(4, 10)]
+             + [(200 + m, 8, ts(m), 0, 0) for m in range(0, 10)])
+    rows2 = ([(100 + m, 7, ts(m), 5, 1) for m in range(10, 13)]
+             + [(300 + m, 7, ts(m), 2, 2) for m in range(13, 16)]
+             + [(200 + m, 8, ts(m), 0, 0) for m in range(10, 16)])
+    schema = "event_id long, user_id long, ts timestamp, ix long, iy long"
+    src = str(tmp_path / "traj_src")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dwell_out")
+    ckpt = str(tmp_path / "dwell_ckpt")
+    SP.stream_dwell_segments(spark, src, out_dir=out, checkpoint_dir=ckpt) \
+        .awaitTermination(300)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out)
+                 .select("user_id", "seg_no", "ix", "iy", "n_events",
+                         "enter_ms", "leave_ms", "dwell_ms").collect())
+    # batch reference on the union, minus each user's final (open) segment
+    allev = spark.createDataFrame(rows1 + rows2, schema)
+    batch = dwell_segments(allev)
+    last = batch.groupBy("user_id").agg(F.max("seg_no").alias("seg_no"))
+    exp = sorted(tuple(r) for r in batch.join(last, ["user_id", "seg_no"],
+                                              "left_anti")
+                 .select("user_id", "seg_no", "ix", "iy", "n_events",
+                         "enter_ms", "leave_ms", "dwell_ms").collect())
+    assert got == exp and len(got) == 2          # user 7's A-run and B-run
+    spans = {r[1]: r for r in got}
+    assert spans[2][4] == 9                      # B-run: 6 + 3 events, ONE segment
+    assert spans[2][7] == 8 * 60_000             # minute 4 -> minute 12
