@@ -425,3 +425,39 @@ def test_train_export_job_end_to_end_and_resumable(spark, tmp_path):
     # a budget change re-stages and re-exports (param-sensitive lineage)
     res4 = export_run(spark, 3000, 4, out, budget=32, n_shards=4)
     assert res4["n_bins"] > res["n_bins"]
+
+
+def test_tile_pyramid_job_exact_and_resumable(spark, tmp_path):
+    """Subtree-bucketed pyramid job: the union of per-bucket rollups must
+    equal the one-shot tile_rollup EXACTLY (coarse subtrees nest, so bucket
+    outputs partition the cell set), bucket cell sets must be disjoint, and
+    a kill-resume must reproduce the identical output."""
+    from pyspark.sql import functions as F
+    from polycheck_spark.data import synth
+    from polycheck_spark.jobs.tile_pyramid_job import run_job as pyr_run
+    from polycheck_spark.operators import pip_join as PJ
+
+    out_dir = str(tmp_path / "pyr")
+    res = pyr_run(spark, 4000, 4, out_dir, res_fine=8, res_coarse=3)
+    got = CheckpointedWriter(out_dir).read_output(spark)
+    rows = sorted((r["res"], r["cell_id"], r["n_docs"])
+                  for r in got.collect())
+
+    # (res, cell_id) keys never repeat across buckets: subtrees are disjoint
+    assert len(rows) == len({(r[0], r[1]) for r in rows})
+
+    pts = synth.geocoded_pages(spark, 4000).select("url", "lon", "lat")
+    exp = sorted((r["res"], r["cell_id"], r["n_docs"]) for r in
+                 PJ.tile_rollup(pts, res_fine=8, res_coarse=3).collect())
+    assert rows == exp and res["snapshot"]["total_rows"] == len(exp)
+
+    # kill before bucket 2 commits, then resume: identical output
+    out2 = str(tmp_path / "pyr2")
+    with pytest.raises(RuntimeError):
+        pyr_run(spark, 4000, 4, out2, res_fine=8, res_coarse=3,
+                fail_on=lambda k: k == 2)
+    res2 = pyr_run(spark, 4000, 4, out2, res_fine=8, res_coarse=3)
+    rows2 = sorted((r["res"], r["cell_id"], r["n_docs"]) for r in
+                   CheckpointedWriter(out2).read_output(spark).collect())
+    assert rows2 == rows
+    assert 2 in res2["run"]["processed"] and len(res2["run"]["skipped"]) == 2
