@@ -386,6 +386,8 @@ def frontier_schedule(pages: DataFrame, *, id_col: str = "doc_id",
     across executors.
     """
     from pyspark.sql import Window
+    if delay_ms <= 0:
+        raise ValueError("delay_ms must be positive")
     canon = canonical_url_col(F.col(url_col))
     cand = (pages
             .select(F.col(id_col).alias("__id"),

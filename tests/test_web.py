@@ -288,6 +288,9 @@ def test_frontier_schedule_semantics(spark):
     assert rows["b.example.com/y"]["slot"] == 1
     # slots restart per host and delay multiplies the slot
     assert all(r["fetch_at_ms"] == r["slot"] * 250 for r in rows.values())
+    import pytest as _pt
+    with _pt.raises(ValueError, match="delay_ms"):
+        frontier_schedule(pages, delay_ms=0)
 
 
 def test_frontier_schedule_plan_two_shuffles(spark):
