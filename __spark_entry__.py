@@ -2387,6 +2387,18 @@ def q_dwell_segments(spark, sf_dir):
     """Stay-point detection: per user, consecutive same-cell event runs
     collapse to dwell segments (gaps-and-islands; one shuffle + sort)."""
     from polycheck_spark.operators import temporal as TP
+    return (TP.dwell_segments(_dwell_traj(spark, sf_dir))
+            .orderBy("user_id", "seg_no"))
+
+
+def _dwell_segments_oracle() -> str:
+    from polycheck_spark.operators import temporal as TP
+    return (TP.dwell_segments_sql(_dwell_traj_cte())
+            + " ORDER BY user_id, seg_no")
+
+
+def _dwell_traj(spark, sf_dir):
+    """The dwell corpus trajectory (shared by dwell_segments / od_flows)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
         .select("event_id", "user_id", "ts")
     day = F.floor(F.unix_millis(F.col("ts").cast("timestamp"))
@@ -2394,21 +2406,94 @@ def q_dwell_segments(spark, sf_dir):
     lon, lat = synth.geocode_arith_cols(
         F.col("user_id") * F.lit(7919) + day)
     ix, iy = C.ixiy_cols(lon, lat, DWELL_RES)
-    traj = ev.select("event_id", "user_id", "ts",
+    return ev.select("event_id", "user_id", "ts",
                      ix.alias("ix"), iy.alias("iy"))
-    return (TP.dwell_segments(traj)
-            .orderBy("user_id", "seg_no"))
 
 
-def _dwell_segments_oracle() -> str:
-    from polycheck_spark.operators import temporal as TP
+def _dwell_traj_cte() -> str:
     lon_sql, lat_sql = synth.geocode_arith_sql(
         f"(user_id * 7919 + CAST(FLOOR(epoch_ms(ts) / {DWELL_BUCKET_MS}) AS BIGINT))")
     ix, iy = C.ixiy_sql(lon_sql, lat_sql, DWELL_RES)
-    traj = (f"SELECT event_id, user_id, ts, {ix} AS ix, {iy} AS iy "
+    return (f"SELECT event_id, user_id, ts, {ix} AS ix, {iy} AS iy "
             f"FROM events")
-    return (TP.dwell_segments_sql(traj)
-            + " ORDER BY user_id, seg_no")
+
+
+def q_od_flows(spark, sf_dir):
+    """Origin-destination tile flow matrix over the dwell trajectory:
+    per user, each consecutive pair of events in different cells is one
+    movement; flows roll up by directed (src cell, dst cell) pair with
+    move and distinct-mover counts — one window + one pair-keyed groupBy."""
+    from polycheck_spark.operators import temporal as TP
+    return (TP.od_flows(_dwell_traj(spark, sf_dir))
+            .orderBy(F.col("n_moves").desc(),
+                     "src_ix", "src_iy", "dst_ix", "dst_iy"))
+
+
+def _od_flows_oracle() -> str:
+    from polycheck_spark.operators import temporal as TP
+    return (TP.od_flows_sql(_dwell_traj_cte())
+            + " ORDER BY n_moves DESC, src_ix, src_iy, dst_ix, dst_iy")
+
+
+# --- grid-DBSCAN spatial hotspot regions ---------------------------------------
+# documents scatter by a planted formula: three 5x3 contiguous blobs of
+# dense mass (one per residue class), plus a multiplicative-scatter noise
+# floor whose per-cell counts stay below the gate at small sf and form
+# extra single-cell-ish regions at larger sf — both engines derive the
+# identical point set, so the region structure is engine-exact by
+# construction.  Cell centers round-trip lonlat_to_ixiy exactly: the
+# per-cell degree sizes (1.40625, 0.703125) are binary-exact doubles.
+
+HOTSPOT_RES = 8
+HOTSPOT_MIN_COUNT = 4
+
+
+def _hotspot_points(spark, sf_dir):
+    d = F.col("doc_id")
+    b = F.pmod(d, F.lit(4))
+    q4 = F.expr("doc_id div 4")
+    q20 = F.expr("doc_id div 20")
+    bx = F.lit(40) + b * 60 + F.pmod(q4, F.lit(5))
+    by = F.lit(50) + b * 40 + F.pmod(q20, F.lit(3))
+    nx = F.pmod(d * 37, F.lit(256))
+    ny = F.pmod(d * 53, F.lit(256))
+    ixp = F.when(b < 3, bx).otherwise(nx).cast("double")
+    iyp = F.when(b < 3, by).otherwise(ny).cast("double")
+    lon = F.lit(-180.0) + (ixp + F.lit(0.5)) * F.lit(1.40625)
+    lat = F.lit(-90.0) + (iyp + F.lit(0.5)) * F.lit(0.703125)
+    return _docs(spark, sf_dir).select(
+        "doc_id", lon.alias("lon"), lat.alias("lat"))
+
+
+_HOTSPOT_CTE = """
+SELECT doc_id,
+       -180.0 + (ixp + 0.5) * 1.40625 AS lon,
+       -90.0 + (iyp + 0.5) * 0.703125 AS lat
+FROM (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 4 < 3
+              THEN 40 + (doc_id % 4) * 60 + (doc_id // 4) % 5
+              ELSE (doc_id * 37) % 256 END AS DOUBLE) AS ixp,
+         CAST(CASE WHEN doc_id % 4 < 3
+              THEN 50 + (doc_id % 4) * 40 + (doc_id // 20) % 3
+              ELSE (doc_id * 53) % 256 END AS DOUBLE) AS iyp
+  FROM documents)
+"""
+
+
+def q_hotspot_regions(spark, sf_dir):
+    """Grid-DBSCAN hotspot clustering: cells with >= min_count docs merge
+    with touching hot cells (8-connected) into contiguous dense regions —
+    points shuffle once, everything after runs on the hot-cell relation."""
+    return (PJ.hotspot_regions(_hotspot_points(spark, sf_dir),
+                               HOTSPOT_RES, HOTSPOT_MIN_COUNT)
+            .orderBy(F.col("n_docs").desc(), "region"))
+
+
+def _hotspot_regions_oracle() -> str:
+    return (PJ.hotspot_regions_sql(_HOTSPOT_CTE, HOTSPOT_RES,
+                                   HOTSPOT_MIN_COUNT)
+            + " ORDER BY n_docs DESC, region")
 
 
 # --- per-language linear quality-classifier inference --------------------------
@@ -2440,10 +2525,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # most static code in the repo — golden kernel tests pin them and each
     # has 3+ green rows; family representatives `ann_cosine`, `near_dup`,
     # `visibility` and `faux_scan` stay in the prefix.
+    # Late-r7 re-budget: hotspot_regions + od_flows joined the front of the
+    # prefix, pushing tile_quantiles and agg_lineitem (newest record r5)
+    # past the cut — their compensating evidence is a fresh two-sf
+    # selfcheck this session plus green family representatives that
+    # exercise the same machinery (tile_density/tile_smooth for the tile
+    # aggregation path; events_value_stats/events_cube/broadcast_join_agg
+    # for decimal-exact aggregation).
     # robots_filter / simhash_pairs_wide / domain_filter changed
     # PLAN this round but not values, so their r6 green rows remain valid
     # and they wait in the tail.
     return {
+        # -- new (late round 7) --
+        "hotspot_regions": q_hotspot_regions,
+        "od_flows": q_od_flows,
         # -- never-green (oracle type fixed this round) --
         "pii_profile": q_pii_profile,
         "tile_rank": q_tile_rank,
@@ -2571,6 +2666,8 @@ def oracle_sql() -> dict[str, str]:
     pip = winding_join_sql(pts, _LAYER)
     lon_sql, lat_sql = synth.geocode_arith_sql("doc_id")
     return {
+        "hotspot_regions": _hotspot_regions_oracle(),
+        "od_flows": _od_flows_oracle(),
         "pip_join": f"SELECT point_id, polygon_id FROM ({pip}) ORDER BY 1, 2",
         "pip_join_partitioned": f"SELECT point_id, polygon_id FROM ({pip}) ORDER BY 1, 2",
         "pip_join_distributed": f"SELECT point_id, polygon_id FROM ({pip}) ORDER BY 1, 2",

@@ -210,7 +210,7 @@ def main():
                  "dedup_survivors", "interval_overlap", "oov_rate",
                  "sample_exact_k", "leakfree_split",
                  "frontier", "tile_smooth", "dwell_segments",
-                 "quality_classify"]:
+                 "quality_classify", "hotspot_regions", "od_flows"]:
         best = None
         for _ in range(2):
             t0 = time.time()

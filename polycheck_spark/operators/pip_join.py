@@ -380,3 +380,96 @@ sm AS (
 SELECT occ.ix, occ.iy, occ.n_docs, CAST(sm.n_docs_3x3 AS BIGINT) AS n_docs_3x3
 FROM occ JOIN sm USING (ix, iy)
 """
+
+
+def hotspot_regions(points: DataFrame, res: int, min_count: int,
+                    lon_col: str = "lon", lat_col: str = "lat",
+                    max_iters: int = 20) -> DataFrame:
+    """Grid-DBSCAN-style spatial hotspot clustering: cells whose point
+    count reaches ``min_count`` are "hot"; hot cells that touch (8-connected
+    neighborhood) merge into regions.  Output: one row per region —
+    (region, n_cells, n_docs, ix_min, ix_max, iy_min, iy_max) where
+    ``region`` is the smallest member cell key ``ix * 2^res + iy`` (a
+    deterministic representative) and the ix/iy extrema are the region's
+    grid bounding box.
+
+    This is the density-based clustering primitive a crawl/mobility
+    pipeline uses for "find the contiguous dense areas" — the cell-count
+    gate is DBSCAN's minPts over a fixed-radius (one cell) neighborhood,
+    and the region merge is connectivity, computed by the engine's
+    existing min-label connected-components operator.
+
+    Shape for scale: the raw points are scanned and shuffled ONCE (the
+    per-cell count with map-side partial agg); everything downstream —
+    the hotness filter, the 8-neighbor scatter/equi-join that builds the
+    adjacency (never a spatial cross join), and the O(log n)-round CC —
+    runs on the HOT-CELL relation, bounded by min(|occupied cells|,
+    4^res), orders of magnitude below the corpus.  The hot relation is
+    localCheckpointed once so the CC rounds and the adjacency join do not
+    re-run the corpus aggregation per round.
+    """
+    if not 0 <= res <= C.MAX_RES:
+        raise ValueError(f"res must be in [0, {C.MAX_RES}]")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    from polycheck_spark.operators.dedup import cluster_assignments
+    n = 1 << res
+    ix, iy = C.ixiy_cols(F.col(lon_col), F.col(lat_col), res)
+    hot = (points.select(ix.alias("ix"), iy.alias("iy"))
+           .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n_docs"))
+           .filter(F.col("n_docs") >= min_count)
+           .withColumn("k", (F.col("ix") * n + F.col("iy")).cast("long"))
+           .localCheckpoint(eager=False))
+    nb = F.explode(F.array(*[
+        F.struct((F.col("ix") + F.lit(dx)).alias("jx"),
+                 (F.col("iy") + F.lit(dy)).alias("jy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)])).alias("nb")
+    probes = (hot.select(F.col("k").alias("a"), nb)
+              .select("a", F.col("nb.jx").alias("jx"),
+                      F.col("nb.jy").alias("jy")))
+    edges = (probes.join(hot.select(F.col("ix").alias("jx"),
+                                    F.col("iy").alias("jy"),
+                                    F.col("k").alias("b")), ["jx", "jy"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b"))
+    labels = cluster_assignments(hot.select(F.col("k").alias("id")), edges,
+                                 max_iters=max_iters)
+    return (hot.join(labels, hot.k == labels.id)
+            .groupBy(F.col("cluster_id").alias("region"))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.min("ix").alias("ix_min"), F.max("ix").alias("ix_max"),
+                 F.min("iy").alias("iy_min"), F.max("iy").alias("iy_max")))
+
+
+def hotspot_regions_sql(points_cte: str, res: int, min_count: int) -> str:
+    """DuckDB twin of :func:`hotspot_regions` (same count gate + 8-neighbor
+    adjacency; connectivity via the exact recursive-closure CC twin)."""
+    from polycheck_spark.operators.dedup import connected_components_sql
+    ix, iy = C.ixiy_sql("lon", "lat", res)
+    n = 1 << res
+    cc = connected_components_sql("SELECT k AS id FROM hotc",
+                                  "SELECT a, b FROM adj")
+    return f"""
+WITH hotc AS (
+  SELECT ix, iy, n_docs, ix * {n} + iy AS k FROM (
+    SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS n_docs
+    FROM ({points_cte}) GROUP BY 1, 2)
+  WHERE n_docs >= {min_count}),
+offs AS (SELECT dx, dy
+         FROM (VALUES (-1),(0),(1)) a(dx), (VALUES (-1),(0),(1)) b(dy)
+         WHERE NOT (dx = 0 AND dy = 0)),
+adj AS (
+  SELECT h.k AS a, g.k AS b
+  FROM hotc h JOIN offs ON TRUE
+  JOIN hotc g ON g.ix = h.ix + dx AND g.iy = h.iy + dy
+  WHERE h.k < g.k),
+labels AS ({cc})
+SELECT l.cluster_id AS region, COUNT(*) AS n_cells,
+       CAST(SUM(h.n_docs) AS BIGINT) AS n_docs,
+       MIN(h.ix) AS ix_min, MAX(h.ix) AS ix_max,
+       MIN(h.iy) AS iy_min, MAX(h.iy) AS iy_max
+FROM hotc h JOIN labels l ON l.id = h.k
+GROUP BY 1
+"""

@@ -262,3 +262,61 @@ SELECT {key_col}, seg_no,
        CAST(MAX(__ms) - MIN(__ms) AS BIGINT) AS dwell_ms
 FROM segd GROUP BY 1, 2
 """
+
+
+def od_flows(events: DataFrame, *, key_col: str = "user_id",
+             ts_col: str = "ts", cell_cols: tuple[str, str] = ("ix", "iy"),
+             order_col: str = "event_id") -> DataFrame:
+    """Origin-destination flow matrix: per entity, each consecutive pair of
+    events in DIFFERENT grid cells is one movement; flows aggregate
+    movements by (src cell, dst cell) — the canonical mobility-analytics
+    rollup (tile-to-tile transition counts for routing, demand and
+    crawl-locality models).
+
+    Same-cell consecutive events are stays, not moves, and are excluded
+    (they are :func:`dwell_segments`' subject).  Output: one row per
+    observed directed cell pair — (src_ix, src_iy, dst_ix, dst_iy,
+    n_moves, n_users) where ``n_users`` counts distinct entities that made
+    the move.
+
+    Shape: the lag runs in ONE window (single hash shuffle on the key +
+    per-key sort, the same node dwell_segments uses), then one
+    cell-pair-keyed groupBy whose key space is observed OD pairs — bounded
+    by min(|moves|, occupied-cells^2), never corpus-sized state.  The
+    distinct-user count rides the same aggregation (partial
+    count-distinct), no second pass over the events.
+    """
+    cx, cy = cell_cols
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    px, py = F.lag(cx).over(w), F.lag(cy).over(w)
+    moves = (events
+             .select(F.col(key_col).alias("__k"),
+                     px.alias("src_ix"), py.alias("src_iy"),
+                     F.col(cx).alias("dst_ix"), F.col(cy).alias("dst_iy"))
+             .filter(F.col("src_ix").isNotNull()
+                     & ((F.col("src_ix") != F.col("dst_ix"))
+                        | (F.col("src_iy") != F.col("dst_iy")))))
+    return (moves.groupBy("src_ix", "src_iy", "dst_ix", "dst_iy")
+            .agg(F.count(F.lit(1)).alias("n_moves"),
+                 F.countDistinct("__k").alias("n_users")))
+
+
+def od_flows_sql(events_cte: str, *, key_col: str = "user_id",
+                 ts_col: str = "ts",
+                 cell_cols: tuple[str, str] = ("ix", "iy"),
+                 order_col: str = "event_id") -> str:
+    """DuckDB twin of :func:`od_flows` (same lag window + pair rollup)."""
+    cx, cy = cell_cols
+    return f"""
+WITH seq AS (
+  SELECT {key_col} AS __k,
+         lag({cx}) OVER w AS src_ix, lag({cy}) OVER w AS src_iy,
+         {cx} AS dst_ix, {cy} AS dst_iy
+  FROM ({events_cte})
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {order_col}))
+SELECT src_ix, src_iy, dst_ix, dst_iy,
+       COUNT(*) AS n_moves, COUNT(DISTINCT __k) AS n_users
+FROM seq
+WHERE src_ix IS NOT NULL AND (src_ix <> dst_ix OR src_iy <> dst_iy)
+GROUP BY 1, 2, 3, 4
+"""

@@ -110,3 +110,70 @@ def test_bbox_prefilter_lossless(spark, pages, layer):
     sample_df = synth.geocoded_pages(spark, 4000).filter(F.col("url").isin(urls))
     got = set(_rows(PJ.pip_join(spark, sample_df, layer)))
     assert got == expected
+
+
+def _bruteforce_regions(cells, min_count):
+    """Pure-Python reference: count -> gate -> BFS over 8-neighbors."""
+    from collections import Counter, deque
+    counts = Counter(cells)
+    hot = {c for c, n in counts.items() if n >= min_count}
+    seen, regions = set(), []
+    for start in hot:
+        if start in seen:
+            continue
+        comp, dq = [], deque([start])
+        seen.add(start)
+        while dq:
+            cx, cy = dq.popleft()
+            comp.append((cx, cy))
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (cx + dx, cy + dy)
+                    if nb in hot and nb not in seen:
+                        seen.add(nb)
+                        dq.append(nb)
+        regions.append(comp)
+    out = {}
+    for comp in regions:
+        key = min(c[0] * 256 + c[1] for c in comp)
+        xs = [c[0] for c in comp]
+        ys = [c[1] for c in comp]
+        out[key] = (len(comp), sum(counts[c] for c in comp),
+                    min(xs), max(xs), min(ys), max(ys))
+    return out
+
+
+def test_hotspot_regions_vs_bruteforce(spark):
+    """Planted grid: an L-shaped blob (diagonal touch included), an isolated
+    hot cell (singleton region), and sub-gate noise — Spark regions equal
+    the BFS reference exactly."""
+    res, n = 8, 256
+    cells = (
+        # L-shaped blob: horizontal arm (10..13, 20) + vertical arm via the
+        # DIAGONAL touch (14, 21)-(13, 20) then (14, 22)
+        [(x, 20) for x in range(10, 14) for _ in range(4)]
+        + [(14, 21)] * 5 + [(14, 22)] * 4
+        # isolated hot cell far away
+        + [(100, 100)] * 7
+        # noise below the gate, adjacent to the blob (must not join it)
+        + [(9, 20)] * 3 + [(15, 23)] * 2
+    )
+    rows = [(float(-180.0 + (cx + 0.5) * (360.0 / n)),
+             float(-90.0 + (cy + 0.5) * (180.0 / n))) for cx, cy in cells]
+    pts = spark.createDataFrame(rows, "lon double, lat double")
+    got = {r["region"]: (r["n_cells"], r["n_docs"], r["ix_min"], r["ix_max"],
+                         r["iy_min"], r["iy_max"])
+           for r in PJ.hotspot_regions(pts, res, 4).collect()}
+    assert got == _bruteforce_regions(cells, 4)
+    # structure: the L-blob merged across the diagonal into ONE region
+    assert got[10 * 256 + 20][0] == 6
+    # the isolated cell is a singleton region
+    assert got[100 * 256 + 100] == (1, 7, 100, 100, 100, 100)
+
+
+def test_hotspot_regions_validation(spark):
+    pts = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+    with pytest.raises(ValueError):
+        PJ.hotspot_regions(pts, 99, 4)
+    with pytest.raises(ValueError):
+        PJ.hotspot_regions(pts, 8, 0)

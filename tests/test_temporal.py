@@ -190,3 +190,40 @@ def test_dwell_segments_runs_and_boundaries(spark):
     assert got[(8, 1)]["n_events"] == 1 and got[(8, 1)]["dwell_ms"] == 0
     # segment intervals are disjoint and ordered within the user
     assert s1["leave_ms"] < s2["enter_ms"] < s2["leave_ms"] < s3["enter_ms"]
+
+
+def test_od_flows_golden(spark):
+    from polycheck_spark.operators.temporal import od_flows
+
+    def ts(m):
+        import datetime
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 7: A(2,2) -> A -> B(5,1) -> A : moves A->B, B->A (stay excluded)
+        (1, 7, ts(0), 2, 2), (2, 7, ts(1), 2, 2),
+        (3, 7, ts(2), 5, 1), (4, 7, ts(3), 2, 2),
+        # user 8: A -> B (same pair as user 7's first move)
+        (5, 8, ts(0), 2, 2), (6, 8, ts(1), 5, 1),
+        # user 9: single event -> no move
+        (7, 9, ts(0), 9, 9),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, ix long, iy long")
+    got = {(r["src_ix"], r["src_iy"], r["dst_ix"], r["dst_iy"]):
+           (r["n_moves"], r["n_users"]) for r in od_flows(ev).collect()}
+    assert got == {(2, 2, 5, 1): (2, 2),   # A->B by users 7 and 8
+                   (5, 1, 2, 2): (1, 1)}   # B->A by user 7 only
+
+
+def test_od_flows_tie_order_by_event_id(spark):
+    """Equal timestamps order by event_id, so the move sequence is
+    deterministic: A -(e1)-> B -(e2)-> C at one instant gives A->B, B->C."""
+    from polycheck_spark.operators.temporal import od_flows
+    import datetime
+    t = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 5, t, 0, 0), (2, 5, t, 1, 0), (3, 5, t, 2, 0)],
+        "event_id long, user_id long, ts timestamp, ix long, iy long")
+    got = {(r["src_ix"], r["dst_ix"]) for r in od_flows(ev).collect()}
+    assert got == {(0, 1), (1, 2)}
