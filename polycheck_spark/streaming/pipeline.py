@@ -369,3 +369,85 @@ def stream_dwell_segments(spark: SparkSession, source_dir: str, *,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+OD_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("src_ix", T.LongType()),
+    T.StructField("src_iy", T.LongType()),
+    T.StructField("dst_ix", T.LongType()),
+    T.StructField("dst_iy", T.LongType()),
+    T.StructField("move_ms", T.LongType()),
+])
+
+_OD_STATE_SCHEMA = T.StructType([
+    T.StructField("ix", T.LongType()),
+    T.StructField("iy", T.LongType()),
+])
+
+
+def stream_od_flows(spark: SparkSession, source_dir: str, *,
+                    out_dir: str, checkpoint_dir: str,
+                    available_now: bool = True,
+                    max_files_per_trigger: int | None = 1):
+    """Streaming twin of :func:`polycheck_spark.operators.temporal.
+    od_flows`: live origin-destination movement detection where a move may
+    straddle a micro-batch boundary (last event of batch k in cell A, first
+    event of batch k+1 in cell B — the batch rewrite would never pair
+    them).
+
+    State per user is exactly the LAST SEEN CELL — two longs, O(1) per
+    user, stream-length-independent.  One row is emitted per MOVE (entity,
+    src cell, dst cell, move timestamp); the flow matrix is a plain batch
+    rollup over the emitted moves, and because every move CLOSES the
+    instant its destination event arrives (unlike a dwell segment, which
+    stays open), the rolled-up stream output equals the batch operator on
+    the full history EXACTLY — no final-open-row exclusion needed.
+
+    Ordering contract: identical to :func:`stream_dwell_segments` — per
+    user, events arrive in event-time order across micro-batches (file
+    order = arrival order) and each batch is sorted by (ts, event_id)
+    internally.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(TRAJ_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (reader.parquet(source_dir)
+              .withColumn("ms", F.unix_millis(F.col("ts").cast("timestamp")))
+              .select("user_id", "event_id", "ms", "ix", "iy"))
+
+    def walk(key, pdfs, state):
+        import pandas as pd
+        cur = list(state.get) if state.exists else None   # [ix, iy]
+        rows = [(m, e, x, y) for pdf in pdfs
+                for m, e, x, y in zip(pdf["ms"], pdf["event_id"],
+                                      pdf["ix"], pdf["iy"])]
+        out = []
+        uid = key[0]
+        for ms, _eid, ix, iy in sorted(rows):
+            ms, ix, iy = int(ms), int(ix), int(iy)
+            if cur is not None and (ix != cur[0] or iy != cur[1]):
+                out.append((uid, cur[0], cur[1], ix, iy, ms))
+            cur = [ix, iy]
+        if cur is not None:
+            state.update(tuple(cur))
+        yield pd.DataFrame(
+            out, columns=["user_id", "src_ix", "src_iy",
+                          "dst_ix", "dst_iy", "move_ms"])
+
+    moves = stream.groupBy("user_id").applyInPandasWithState(
+        walk, OD_OUT_SCHEMA, _OD_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}")
+
+    writer = (moves.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

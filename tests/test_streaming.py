@@ -303,3 +303,54 @@ def test_stream_dwell_segments_spans_batches(spark, tmp_path):
     spans = {r[1]: r for r in got}
     assert spans[2][4] == 9                      # B-run: 6 + 3 events, ONE segment
     assert spans[2][7] == 8 * 60_000             # minute 4 -> minute 12
+
+
+def test_stream_od_flows_equals_batch_exactly(spark, tmp_path):
+    """A move that STRADDLES the micro-batch boundary (last event of batch 1
+    in cell B, first event of batch 2 in cell A) must be emitted, and the
+    rolled-up stream output must equal the batch od_flows operator on the
+    full history EXACTLY (moves close instantly, so nothing stays open)."""
+    import time as _time
+    from datetime import datetime
+    from polycheck_spark.operators.temporal import od_flows
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    # user 7: A A B | A A  -> moves A->B (in-batch), B->A (straddles)
+    # user 8: A | B B      -> move A->B (straddles)
+    # user 9: C | C        -> no move (stay across the boundary)
+    rows1 = ([(m, 7, ts(m), 2, 2) for m in (0, 1)] + [(2, 7, ts(2), 5, 1)]
+             + [(10, 8, ts(0), 2, 2)]
+             + [(20, 9, ts(0), 8, 8)])
+    rows2 = ([(m, 7, ts(m), 2, 2) for m in (3, 4)]
+             + [(11 + m, 8, ts(1 + m), 5, 1) for m in (0, 1)]
+             + [(21, 9, ts(1), 8, 8)])
+    schema = "event_id long, user_id long, ts timestamp, ix long, iy long"
+    src = str(tmp_path / "od_src")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    out = str(tmp_path / "od_out")
+    ckpt = str(tmp_path / "od_ckpt")
+    SP.stream_od_flows(spark, src, out_dir=out, checkpoint_dir=ckpt) \
+        .awaitTermination(300)
+
+    moves = spark.read.parquet(out)
+    got = sorted(tuple(r) for r in moves
+                 .groupBy("src_ix", "src_iy", "dst_ix", "dst_iy")
+                 .agg(F.count(F.lit(1)).alias("n_moves"),
+                      F.countDistinct("user_id").alias("n_users"))
+                 .collect())
+    exp = sorted(tuple(r) for r in
+                 od_flows(spark.createDataFrame(rows1 + rows2, schema))
+                 .collect())
+    assert got == exp and len(got) == 2
+    # the straddling B->A move carries the batch-2 arrival timestamp
+    back = {(r["src_ix"], r["src_iy"], r["dst_ix"], r["dst_iy"]): r["move_ms"]
+            for r in moves.filter(F.col("user_id") == 7).collect()}
+    epoch_2024 = 1_704_067_200_000          # 2024-01-01T00:00Z
+    assert back[(5, 1, 2, 2)] == epoch_2024 + 3 * 60_000
