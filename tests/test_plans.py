@@ -131,3 +131,29 @@ def test_text_path_stays_jvm_side(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, q
         assert "BatchEvalPython" not in plan, q
         assert "PythonUDF" not in plan, q
+
+
+def test_od_flows_single_window_single_corpus_shuffle(spark, sf_dir):
+    """od_flows: both lag columns must share ONE Window node over one
+    corpus shuffle on the entity key; the count-distinct pair rollup runs
+    on the moves relation (no Expand, no second corpus-wide exchange on
+    the entity key)."""
+    import re
+    plan = _plan(E.q_od_flows(spark, sf_dir))
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan
+    assert "Expand" not in plan, plan
+    # exactly one exchange keyed by the entity (the window shuffle);
+    # the remaining exchanges key on the OD pair (moves-sized)
+    user_keyed = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_keyed) == 1, plan
+
+
+def test_hotspot_regions_result_plan_never_rereads_corpus(spark, sf_dir):
+    """hotspot_regions: the points source is aggregated ONCE behind a
+    checkpoint — the returned region plan must contain zero file scans
+    (it reads the hot-cell RDDs and attaches labels via broadcast), so
+    consuming the result can never re-run the corpus aggregation."""
+    df = E.q_hotspot_regions(spark, sf_dir)
+    plan = _plan(df)
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
