@@ -279,6 +279,14 @@ def od_flows(events: DataFrame, *, key_col: str = "user_id",
     n_moves, n_users) where ``n_users`` counts distinct entities that made
     the move.
 
+    Events with a NULL cell coordinate (an unlocatable fix) are excluded
+    BEFORE the lag, so they are gaps, not positions: A -> NULL -> B emits
+    the single move A -> B.  Without the exclusion, three-valued logic
+    would silently swallow both transitions around the NULL row.  (This
+    also keeps the ``moves == dwell segments - users`` cross-check exact
+    on NULL-free trajectories; dwell_segments treats cells as opaque
+    values and has no corresponding exclusion.)
+
     Shape: the lag runs in ONE window (single hash shuffle on the key +
     per-key sort, the same node dwell_segments uses), then one
     cell-pair-keyed groupBy whose key space is observed OD pairs — bounded
@@ -287,6 +295,7 @@ def od_flows(events: DataFrame, *, key_col: str = "user_id",
     count-distinct), no second pass over the events.
     """
     cx, cy = cell_cols
+    events = events.filter(F.col(cx).isNotNull() & F.col(cy).isNotNull())
     w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
     px, py = F.lag(cx).over(w), F.lag(cy).over(w)
     moves = (events
@@ -312,7 +321,8 @@ WITH seq AS (
   SELECT {key_col} AS __k,
          lag({cx}) OVER w AS src_ix, lag({cy}) OVER w AS src_iy,
          {cx} AS dst_ix, {cy} AS dst_iy
-  FROM ({events_cte})
+  FROM (SELECT * FROM ({events_cte})
+        WHERE {cx} IS NOT NULL AND {cy} IS NOT NULL)
   WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {order_col}))
 SELECT src_ix, src_iy, dst_ix, dst_iy,
        COUNT(*) AS n_moves, COUNT(DISTINCT __k) AS n_users

@@ -227,3 +227,22 @@ def test_od_flows_tie_order_by_event_id(spark):
         "event_id long, user_id long, ts timestamp, ix long, iy long")
     got = {(r["src_ix"], r["dst_ix"]) for r in od_flows(ev).collect()}
     assert got == {(0, 1), (1, 2)}
+
+
+def test_od_flows_null_cell_is_a_gap_not_a_swallower(spark):
+    """A NULL-cell event (unlocatable fix) must be a GAP: A -> NULL -> B
+    emits the single move A->B.  Under naive three-valued logic the NULL
+    row would silently swallow BOTH surrounding transitions."""
+    from polycheck_spark.operators.temporal import od_flows
+    import datetime
+    t = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    ev = spark.createDataFrame(
+        [(1, 5, ts(0), 2, 2), (2, 5, ts(1), None, None), (3, 5, ts(2), 5, 1)],
+        "event_id long, user_id long, ts timestamp, ix long, iy long")
+    got = [(r["src_ix"], r["src_iy"], r["dst_ix"], r["dst_iy"], r["n_moves"])
+           for r in od_flows(ev).collect()]
+    assert got == [(2, 2, 5, 1, 1)]

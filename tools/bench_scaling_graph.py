@@ -1,4 +1,4 @@
-"""Secondary-workload scaling evidence: the WEB-GRAPH family at two
+"""Secondary-workload scaling evidence: the WEB-GRAPH family at three
 parallelism levels (same protocol as bench_scaling.py and its text /
 temporal / media siblings — this one demonstrates the iterative-shuffle
 worst case scales like the rest of the engine).
@@ -13,7 +13,8 @@ iterative multi-shuffle operator, so this is the family where serial
 per-round overhead would show up first.
 
 Protocol: identical input, identical partition count, separate JVMs at
-local[N] and local[4N], best-of-REPEATS, plus the half-input marginal
+local[2] / local[8] / local[32] (primary pair 2->8; secondary 8->32
+reported against the same-window machine calibration), best-of-REPEATS, plus the half-input marginal
 throughput to cancel fixed per-job setup.  Output identity across levels
 is asserted via (n_edges, n_hosts, sum-of-rank checksum) — the integer
 fixed-point contract makes the checksum bit-exact regardless of
@@ -30,11 +31,12 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-DOCS = int(os.environ.get("SCALING_GRAPH_DOCS", "3000000"))
+DOCS = int(os.environ.get("SCALING_GRAPH_DOCS", "12000000"))
 ITERS = int(os.environ.get("SCALING_GRAPH_ITERS", "5"))
 REPEATS = int(os.environ.get("SCALING_GRAPH_REPEATS", "2"))
 PARTITIONS = 64  # fixed across levels: vary threads only, never task grain
 PRIMARY = (2, 8)
+SECONDARY = (8, 32)
 
 
 def _linked_pages_col(spark, n_docs: int, n_hosts: int):
@@ -113,34 +115,49 @@ def main() -> None:
         worker(int(sys.argv[2]))
         return
     results = {}
-    for cpus in PRIMARY:
+    for cpus in sorted(set(PRIMARY) | set(SECONDARY)):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
             capture_output=True, text=True, check=True, cwd=REPO)
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
         print(line, flush=True)
+    from bench_scaling import calibrate
+    cal = calibrate()
+    print(json.dumps(cal), flush=True)
 
-    lo, hi = PRIMARY
     for key in ("n_edges", "n_hosts", "rank_mass"):
-        assert results[lo][key] == results[hi][key], \
-            f"output diverged across levels: {key}"
+        vals = {results[c][key] for c in results}
+        assert len(vals) == 1, f"output diverged across levels: {key}"
 
-    def eff(key="docs_per_sec"):
+    def eff(pair, key="docs_per_sec"):
+        lo, hi = pair
         a, b = results[lo].get(key), results[hi].get(key)
         if not a or not b:
-            return None
+            return None  # marginal invalid at one level (timing inversion)
         return round((b / a) / (hi / lo), 3)
 
+    raw_eff = eff(PRIMARY)
+    marg_eff = eff(PRIMARY, "marginal_docs_per_sec")
     summary = {
         "workload": (f"link extraction + host graph + {ITERS}-round integer "
-                     f"PageRank, {DOCS} pages, {results[lo]['n_hosts']} hosts"),
+                     f"PageRank, {DOCS} pages, "
+                     f"{results[PRIMARY[0]]['n_hosts']} hosts"),
         "levels": results,
         "primary_pair": list(PRIMARY),
-        "scaling_efficiency": eff(),
-        "scaling_efficiency_marginal": eff("marginal_docs_per_sec"),
+        "scaling_efficiency": raw_eff,
+        "scaling_efficiency_marginal": marg_eff,
+        "secondary_pair": list(SECONDARY),
+        "secondary_scaling_efficiency": eff(SECONDARY),
+        "secondary_scaling_efficiency_marginal":
+            eff(SECONDARY, "marginal_docs_per_sec"),
+        "machine_calibration": cal,
         "target": 0.8,
-        "pass": (eff() or 0) >= 0.8,
+        # same verdict rule as bench_scaling.py: raw decides; a valid
+        # marginal can rescue a raw reading depressed by fixed setup,
+        # but never below 0.6 raw
+        "pass": raw_eff >= 0.8 or (marg_eff is not None and marg_eff >= 0.8
+                                   and raw_eff >= 0.6),
     }
     print(json.dumps(summary))
     with open(os.path.join(REPO, "BENCH", "scaling_graph.json"), "w") as f:
