@@ -230,3 +230,87 @@ class CheckpointedWriter:
             if recorded != actual:
                 bad[b] = (recorded, actual)
         return bad
+
+    # -- rollback / schema evolution / expiry -----------------------------------
+
+    def rollback_to(self, snapshot_id: int) -> dict:
+        """Roll the table back to a committed snapshot (Iceberg
+        ``rollback_to_snapshot`` semantics): buckets not in that snapshot
+        are tombstoned — lineage marker removed FIRST (so a crash
+        mid-rollback reads as "bucket never completed" and a resumed job
+        recomputes it), then the bucket directory — and a NEW snapshot is
+        committed whose content equals the target.  History is preserved:
+        the rolled-back snapshots' manifests remain readable; only their
+        orphaned data is gone.  Returns the new snapshot manifest (with a
+        ``rollback_of`` field naming the target)."""
+        import shutil
+        target = self.snapshot(snapshot_id)
+        if target is None:
+            raise ValueError(f"no snapshot {snapshot_id} under {self.snapshot_dir}")
+        keep = set(target["buckets"])
+        for b in sorted(self.completed_buckets() - keep):
+            os.remove(self._marker_path(b))      # marker first: atomic unclaim
+            shutil.rmtree(os.path.join(self.out_dir, f"bucket={b}"),
+                          ignore_errors=True)
+        manifest = self.commit_snapshot()
+        manifest["rollback_of"] = snapshot_id
+        tmp = os.path.join(self.snapshot_dir,
+                           f"snapshot_{manifest['snapshot_id']}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(
+            self.snapshot_dir, f"snapshot_{manifest['snapshot_id']}.json"))
+        return manifest
+
+    def read_snapshot_evolved(self, spark: SparkSession,
+                              snapshot_id: int) -> DataFrame:
+        """Time travel with ADD-COLUMN schema evolution (the Iceberg
+        property that later writers may carry extra columns without
+        rewriting committed data): reads the snapshot's buckets with
+        parquet schema merging, so rows from pre-evolution buckets surface
+        the added columns as NULL while an old snapshot read through
+        :meth:`read_snapshot` still sees exactly its original schema.
+        Column REMOVAL/RENAME is intentionally not supported — as in
+        Iceberg, that is a metadata operation this parquet fallback cannot
+        express safely, and the method makes no attempt to hide it."""
+        manifest = self.snapshot(snapshot_id)
+        if manifest is None:
+            raise ValueError(f"no snapshot {snapshot_id} under {self.snapshot_dir}")
+        paths = [os.path.join(self.out_dir, f"bucket={b}")
+                 for b in manifest["buckets"]]
+        if not paths:
+            raise ValueError(f"snapshot {snapshot_id} is empty")
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Expire old snapshot manifests (Iceberg ``expire_snapshots``):
+        keep the newest ``keep_last`` manifests, delete the rest, then
+        garbage-collect any bucket directory no surviving manifest
+        references AND no live lineage marker claims (such orphans only
+        exist after a rollback).  Returns the expired snapshot ids.
+        Time travel to an expired snapshot becomes impossible — exactly
+        the trade Iceberg's maintenance operation makes."""
+        import shutil
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        ids = sorted(
+            int(n[len("snapshot_"):-len(".json")])
+            for n in os.listdir(self.snapshot_dir)
+            if n.startswith("snapshot_") and n.endswith(".json"))
+        expired = ids[:-keep_last]
+        for sid in expired:
+            os.remove(os.path.join(self.snapshot_dir, f"snapshot_{sid}.json"))
+        referenced: set[int] = set()
+        for sid in ids[-keep_last:]:
+            m = self.snapshot(sid)
+            if m:
+                referenced.update(m["buckets"])
+        live = self.completed_buckets()
+        for name in os.listdir(self.out_dir):
+            if not name.startswith("bucket="):
+                continue
+            b = int(name[len("bucket="):])
+            if b not in referenced and b not in live:
+                shutil.rmtree(os.path.join(self.out_dir, name),
+                              ignore_errors=True)
+        return expired

@@ -461,3 +461,99 @@ def test_tile_pyramid_job_exact_and_resumable(spark, tmp_path):
                    CheckpointedWriter(out2).read_output(spark).collect())
     assert rows2 == rows
     assert 2 in res2["run"]["processed"] and len(res2["run"]["skipped"]) == 2
+
+
+def test_rollback_tombstones_and_recomputes(spark, tmp_path):
+    """rollback_to(s0): buckets past s0 are tombstoned (marker AND data),
+    a NEW snapshot equal to s0's content is committed with history
+    preserved, and a resumed run recomputes the rolled-back buckets."""
+    out_dir = str(tmp_path / "rb")
+    w = CheckpointedWriter(out_dir)
+
+    def build(k):
+        return spark.range(100 * (k + 1)).selectExpr("id", f"{k} AS bucket_no")
+
+    w.run([0, 1], build)
+    s0 = w.commit_snapshot()
+    w.run([0, 1, 2, 3], build)
+    s1 = w.commit_snapshot()
+    assert s1["total_rows"] == 100 + 200 + 300 + 400
+
+    s2 = w.rollback_to(s0["snapshot_id"])
+    assert s2["rollback_of"] == s0["snapshot_id"]
+    assert s2["buckets"] == s0["buckets"] == [0, 1]
+    assert s2["total_rows"] == s0["total_rows"] == 300
+    # the new head reads as the old content; markers for 2/3 are gone
+    assert w.read_snapshot(spark, s2["snapshot_id"]).count() == 300
+    assert w.completed_buckets() == {0, 1}
+    # disk agrees with the manifest: rollback_of survives the re-write
+    assert w.snapshot(s2["snapshot_id"])["rollback_of"] == s0["snapshot_id"]
+    # history preserved: s0 still validates; s1's manifest remains but its
+    # tombstoned buckets are gone from disk
+    assert w.validate_snapshot(s0["snapshot_id"]) == {}
+    assert w.snapshot(s1["snapshot_id"]) is not None
+    # a resumed job recomputes exactly the tombstoned buckets
+    w.run([0, 1, 2, 3], build)
+    s3 = w.commit_snapshot()
+    assert s3["total_rows"] == 1000
+    assert w.validate_snapshot(s3["snapshot_id"]) == {}
+    with pytest.raises(ValueError):
+        w.rollback_to(99)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Later buckets may add a column without rewriting committed data:
+    the evolved read surfaces it (NULL for pre-evolution rows), the old
+    snapshot read through read_snapshot keeps its original schema."""
+    out_dir = str(tmp_path / "ev")
+    w = CheckpointedWriter(out_dir)
+
+    def build(k):
+        if k < 2:
+            return spark.range(10).selectExpr("id", f"{k} AS bucket_no")
+        return spark.range(10).selectExpr(
+            "id", f"{k} AS bucket_no", "id * 2 AS quality")
+
+    w.run([0, 1], build)
+    s0 = w.commit_snapshot()
+    w.run([0, 1, 2], build)
+    s1 = w.commit_snapshot()
+
+    old = w.read_snapshot(spark, s0["snapshot_id"])
+    assert "quality" not in old.columns
+    ev = w.read_snapshot_evolved(spark, s1["snapshot_id"])
+    assert "quality" in ev.columns
+    assert ev.count() == 30
+    assert ev.filter("quality IS NULL").count() == 20      # pre-evolution rows
+    assert ev.filter("quality IS NOT NULL").count() == 10
+
+
+def test_expire_snapshots_prunes_manifests_and_orphans(spark, tmp_path):
+    """expire_snapshots keeps the newest manifests, deletes the rest, and
+    garbage-collects bucket data only when NO surviving manifest references
+    it and no live marker claims it (the post-rollback orphan case)."""
+    import os
+    out_dir = str(tmp_path / "ex")
+    w = CheckpointedWriter(out_dir)
+
+    def build(k):
+        return spark.range(10).selectExpr("id", f"{k} AS bucket_no")
+
+    w.run([0], build)
+    s0 = w.commit_snapshot()
+    w.run([0, 1], build)
+    w.commit_snapshot()
+    w.rollback_to(s0["snapshot_id"])          # bucket 1 tombstoned
+    # three manifests exist (s0, s1, rollback head); bucket 1's dir is gone
+    expired = w.expire_snapshots(keep_last=1)
+    assert expired == [0, 1]
+    assert w.snapshot(0) is None and w.snapshot(1) is None
+    head = w.snapshot(2)
+    assert head is not None and head["buckets"] == [0]
+    # live data untouched, expired time travel refuses
+    assert w.read_snapshot(spark, 2).count() == 10
+    with pytest.raises(ValueError):
+        w.read_snapshot(spark, 0)
+    assert not os.path.exists(os.path.join(out_dir, "bucket=1"))
+    with pytest.raises(ValueError):
+        w.expire_snapshots(keep_last=0)
