@@ -177,3 +177,27 @@ def test_hotspot_regions_validation(spark):
         PJ.hotspot_regions(pts, 99, 4)
     with pytest.raises(ValueError):
         PJ.hotspot_regions(pts, 8, 0)
+
+
+def test_hotspot_regions_random_differential(spark):
+    """Seeded random grid occupancy (heavy multiplicity skew, adjacent and
+    isolated hot mass, sub-gate noise everywhere) against the BFS
+    reference — exact equality of the full region table."""
+    rng = np.random.RandomState(4821)
+    n = 256
+    cells = []
+    for _ in range(400):
+        cx, cy = int(rng.randint(0, 24)), int(rng.randint(0, 24))
+        cells.extend([(cx, cy)] * int(rng.randint(1, 7)))
+    rows = [(float(-180.0 + (cx + 0.5) * (360.0 / n)),
+             float(-90.0 + (cy + 0.5) * (180.0 / n))) for cx, cy in cells]
+    pts = spark.createDataFrame(rows, "lon double, lat double")
+    got = {r["region"]: (r["n_cells"], r["n_docs"], r["ix_min"], r["ix_max"],
+                         r["iy_min"], r["iy_max"])
+           for r in PJ.hotspot_regions(pts, 8, 5).collect()}
+    exp = _bruteforce_regions(cells, 5)
+    assert got == exp
+    # the seed must actually exercise structure: multi-cell regions AND
+    # singletons both present
+    sizes = {v[0] for v in exp.values()}
+    assert 1 in sizes and max(sizes) >= 3 and len(exp) >= 5

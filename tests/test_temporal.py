@@ -246,3 +246,48 @@ def test_od_flows_null_cell_is_a_gap_not_a_swallower(spark):
     got = [(r["src_ix"], r["src_iy"], r["dst_ix"], r["dst_iy"], r["n_moves"])
            for r in od_flows(ev).collect()]
     assert got == [(2, 2, 5, 1, 1)]
+
+
+def test_od_flows_random_differential(spark):
+    """Seeded random trajectories (duplicate timestamps, NULL-cell gaps,
+    stays, revisits) against an independent pure-Python walk — exact
+    equality of the full flow matrix including distinct-mover counts."""
+    import numpy as np
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+    from polycheck_spark.operators.temporal import od_flows
+
+    rng = np.random.RandomState(1729)
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(40):
+        for _ in range(int(rng.randint(1, 26))):
+            # coarse minutes force duplicate timestamps within a user, so
+            # the event_id tiebreak is exercised, not just allowed
+            ts = base + timedelta(minutes=int(rng.randint(0, 12)))
+            if rng.rand() < 0.07:
+                ix = iy = None                   # unlocatable fix: a gap
+            else:
+                ix, iy = int(rng.randint(0, 3)), int(rng.randint(0, 3))
+            rows.append((eid, user, ts, ix, iy))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, ix long, iy long")
+    got = {(r["src_ix"], r["src_iy"], r["dst_ix"], r["dst_iy"]):
+           (r["n_moves"], r["n_users"]) for r in od_flows(ev).collect()}
+
+    moves = defaultdict(int)
+    movers = defaultdict(set)
+    by_user = defaultdict(list)
+    for e, u, ts, ix, iy in rows:
+        if ix is not None:
+            by_user[u].append((ts, e, ix, iy))
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, _, ax, ay), (_, _, bx, by) in zip(evs, evs[1:]):
+            if (ax, ay) != (bx, by):
+                moves[(ax, ay, bx, by)] += 1
+                movers[(ax, ay, bx, by)].add(u)
+    exp = {k: (n, len(movers[k])) for k, n in moves.items()}
+    assert got == exp and len(got) > 10
