@@ -285,18 +285,64 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     :func:`simhash_near_pairs`)."""
     if not 1 <= bits <= 60:
         raise ValueError("need 1 <= bits <= 60")
-    toks = tokens_col(F.col(text_col))
-    tok_hash = _tok_int if bits <= 32 else _tok_int60
-    tok = (docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-           .withColumn("h", tok_hash(F.col("tok"))))
-    sums = [F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1))
-                  .otherwise(F.lit(-1))).alias(f"v{b}")
-            for b in range(bits)]
-    per_doc = tok.groupBy("id").agg(*sums)
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return per_doc.select("id", sim.cast("long").alias("simhash"))
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    # r8: signatures are computed MAP-SIDE, no shuffle at all.  A document's
+    # tokens live in its own row, so the former explode -> groupBy shipped
+    # the 200x-bigger token relation through an exchange and evaluated
+    # bits x CaseWhen-sum aggregate expressions per token row (the 60-bit
+    # configuration spent 6.8 s at sf1.0 in those 600M case branches alone).
+    # Tokenization stays the JVM split (bit-identical token stream); each
+    # Arrow batch hashes tokens with the same md5-prefix -> integer scheme
+    # (hashlib == Spark md5 on UTF-8 bytes; the per-task cache exploits the
+    # corpus vocabulary being far smaller than the token stream) and counts
+    # bits in NumPy — integer arithmetic end to end, so signatures are
+    # bit-identical to the former aggregate (sum of +-1 == 2*ones - n) and
+    # the SQL oracle is untouched.  Scale shape: strictly better — the
+    # former path's token exchange (its dominant shuffle) is gone.
+    nhex = 8 if bits <= 32 else 15
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def sig(batches):
+        cache: dict[str, int] = {}
+
+        def tok_int(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:nhex], 16)
+                cache[t] = v
+            return v
+
+        for pdf in batches:
+            lens = np.fromiter((len(t) for t in pdf["toks"]),
+                               dtype=np.int64, count=len(pdf))
+            keep = lens > 0             # explode() emitted no rows for those
+            if not keep.any():
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)[keep]
+            lens = lens[keep]
+            flat = np.concatenate([np.asarray(t, dtype=object)
+                                   for t in pdf["toks"][keep]])
+            # hash each DISTINCT token once per batch (factorize is a hash
+            # pass over the token stream; the md5 loop runs vocabulary-sized)
+            codes, uniq = pd.factorize(flat)
+            uh = np.fromiter((tok_int(t) for t in uniq),
+                             dtype=np.int64, count=len(uniq))
+            bitsmat = (uh[codes][:, None] >> shifts[None, :]) & 1
+            starts = np.zeros(len(lens), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            ones = np.add.reduceat(bitsmat, starts, axis=0)
+            v = 2 * ones - lens[:, None]    # == sum over tokens of +-1
+            sims = ((v > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+            yield pd.DataFrame({"id": ids, "simhash": sims})
+
+    src = docs.select(F.col(id_col).alias("id"),
+                      tokens_col(F.col(text_col)).alias("toks"))
+    src = src.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return src.mapInPandas(sig, "id long, simhash long")
 
 
 def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
@@ -378,10 +424,27 @@ def hamming_near_pairs(sig: DataFrame, *, max_hamming: int = 3,
     """
     if not 0 <= max_hamming < bits <= 64:
         raise ValueError("need 0 <= max_hamming < bits <= 64")
+    # r8: the banding join runs at SIGNATURE level, not document level.
+    # The former shape banded every document row and self-joined — at a
+    # 16-bit width (band key space 2^5-2^6) that join is ~nb * N^2 / 2^w
+    # candidate DOC pairs plus a DISTINCT shuffle over all of them (262 s
+    # at sf1.0 for simhash_pairs).  But the pair condition depends only on
+    # the two SIGNATURES: band-collide + bit_count(xor) <= max_hamming.
+    # So: aggregate to distinct signatures with doc counts (<= min(N,
+    # 2^bits) rows), band/self-join THAT relation, and fan the surviving
+    # signature pairs back out to id pairs with two hash equi-joins —
+    # the quadratic stage shrinks from N^2-shaped to D^2-shaped, the
+    # DISTINCT dedups signature pairs instead of document pairs, and the
+    # fan-out join emits each output row exactly once (a doc has ONE
+    # signature, a signature pair survives once).  Output-identical:
+    # for s != t every (i in ids(s), j in ids(t)) combo appears once as
+    # (least, greatest); for s = t the i < j filter keeps each unordered
+    # pair once — exactly the former x.id < y.id semantics.
     sig = (sig.select(F.col(id_col).alias("id"),
                       F.col(hash_col).cast("long").alias("h"))
            .filter(F.col("h").isNotNull())
            .localCheckpoint(eager=False))
+    sigc = sig.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     nb = max_hamming + 1
     width = bits // nb
     structs = []
@@ -391,23 +454,35 @@ def hamming_near_pairs(sig: DataFrame, *, max_hamming: int = 3,
         val = F.shiftrightunsigned(F.col("h"), lo).bitwiseAND(
             F.lit((1 << w) - 1) if w < 64 else F.lit(-1))
         structs.append(F.struct(F.lit(b).alias("band"), val.alias("bval")))
-    banded = (sig.select("id", "h", F.explode(F.array(*structs)).alias("bb"))
-              .select("id", "h", F.col("bb.band").alias("band"),
+    banded = (sigc.select("h", "cnt", F.explode(F.array(*structs)).alias("bb"))
+              .select("h", "cnt", F.col("bb.band").alias("band"),
                       F.col("bb.bval").alias("bval")))
     if max_band_freq is not None:
+        # the cap counts DOCUMENT rows per (band, bval) — the signature
+        # relation carries the doc count, so the sum reproduces the former
+        # doc-level band frequency exactly
         cool = (banded.groupBy("band", "bval")
-                .agg(F.count(F.lit(1)).alias("bf"))
+                .agg(F.sum("cnt").alias("bf"))
                 .filter(F.col("bf") <= max_band_freq).select("band", "bval"))
         banded = banded.join(cool, ["band", "bval"], "left_semi")
     x, y = banded.alias("x"), banded.alias("y")
     ham = F.bit_count(F.col("x.h").bitwiseXOR(F.col("y.h")))
-    pairs = (x.join(y, ["band", "bval"])
-             .filter(F.col("x.id") < F.col("y.id"))
-             .filter(ham <= max_hamming))
-    cols = [F.col("x.id").alias("a"), F.col("y.id").alias("b")]
+    sp = (x.join(y, ["band", "bval"])
+          .filter(F.col("x.h") <= F.col("y.h"))
+          .filter(ham <= max_hamming)
+          .select(F.col("x.h").alias("sa"), F.col("y.h").alias("sb"))
+          .distinct())
+    xa = sig.select(F.col("h").alias("sa"), F.col("id").alias("ia"))
+    yb = sig.select(F.col("h").alias("sb"), F.col("id").alias("ib"))
+    pairs = (sp.join(xa, "sa").join(yb, "sb")
+             .filter((F.col("sa") != F.col("sb"))
+                     | (F.col("ia") < F.col("ib"))))
+    cols = [F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b")]
     if emit_hamming:
-        cols.append(ham.cast("int").alias("hamming"))
-    return pairs.select(*cols).distinct()
+        cols.append(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                    .cast("int").alias("hamming"))
+    return pairs.select(*cols)
 
 
 def simhash_near_pairs_sql(table: str, max_hamming: int = 3,

@@ -47,19 +47,23 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k of each query against all embeddings.
 
-    ``queries`` is small and broadcast; excludes self-matches.
-    """
-    t = embeddings.select(F.col(id_col).alias("target_id"),
-                          F.col(vec_col).cast("array<double>").alias("tvec"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
-    cand = t.join(F.broadcast(q), F.col("target_id") != F.col("query_id"))
-    cos = _cosine(F.col("qvec"), F.col("tvec"))
-    scored = cand.select("query_id", "target_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "target_id", "rank"))
+    ``queries`` is small and collected driver-side (the same contract the
+    broadcast join enforced); excludes self-matches.
+
+    r8: the former interpreted-HOF broadcast join scored every (target,
+    query) pair with ~10-50x-off-vectorized lambda expressions (Spark never
+    codegens HOF lambdas) and shuffled ALL N x Q scored rows into the
+    ranking window — 328 s at sf1.0.  Now one mapInPandas pass computes
+    dim-ordered fold cosines (bit-identical to the HOF/DuckDB left fold —
+    see the fold helpers above) and emits only per-batch top-k partials, so
+    the window ranks O(k * n_batches) rows per query.  Output is
+    bit-identical: same cosines, same ties, same ranks."""
+    qids, qmat = _collect_queries(queries, id_col, vec_col)
+    if qids is None:
+        return _empty_ranked(embeddings)
+    partial = _ranked_topk_partials(embeddings, qids, qmat, k,
+                                    id_col=id_col, vec_col=vec_col)
+    return _rank_partials(partial, k)
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -81,6 +85,188 @@ def np_guarded_cosine(a, b):
     dot = np.einsum("ij,ij->i", a, b)
     n2 = np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b)
     return np.divide(dot, np.sqrt(n2), out=np.zeros_like(dot), where=n2 > 0)
+
+
+# --- dim-ordered fold arithmetic (bit-exact NumPy twins of the HOF exprs) ----
+#
+# F.aggregate(zip_with(a, b, x*y), 0.0, acc+v) is a SEQUENTIAL left fold:
+# acc_{i+1} = acc_i + a[i]*b[i] in element order.  The same recurrence can be
+# vectorized ACROSS ROWS while keeping the per-row operation order: loop over
+# the dimension index and accumulate one elementwise product per step.  Every
+# intermediate is the same IEEE-double value the interpreted HOF (and the
+# DuckDB list_sum twin) produces, so cosines — and therefore ranks, ties and
+# threshold decisions — are bit-identical, at NumPy speed instead of
+# interpreted-expression speed (Spark never codegens lambdas; guide §4).
+
+def _fold_norms_np(mat):
+    """Per-row sequential sum of squares of an (N, dim) float64 matrix —
+    the dim-ordered twin of :func:`_norm2`."""
+    import numpy as np
+    acc = np.zeros(mat.shape[0])
+    for i in range(mat.shape[1]):
+        v = mat[:, i]
+        acc = acc + v * v
+    return acc
+
+
+def _fold_dot_rows_np(a, b):
+    """Row-paired sequential dot of two (N, dim) float64 matrices — the
+    dim-ordered twin of :func:`_dot` on N (a_row, b_row) pairs."""
+    import numpy as np
+    acc = np.zeros(a.shape[0])
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i] * b[:, i]
+    return acc
+
+
+def _fold_dot_matrix_np(a, q):
+    """All-pairs sequential dot: (B, dim) x (Q, dim) -> (B, Q), each cell
+    accumulated in dimension order (the brute-force twin of :func:`_dot`).
+    O(B*Q) memory — callers bound B via Arrow batch size."""
+    import numpy as np
+    acc = np.zeros((a.shape[0], q.shape[0]))
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i, None] * q[None, :, i]
+    return acc
+
+
+def _guarded_cos_np(dot, na2, nb2):
+    """cosine from fold dot + fold norms with the :func:`_cosine` zero-norm
+    guard, same op order: n2 = na2*nb2; dot/sqrt(n2) when n2 > 0 else 0."""
+    import numpy as np
+    n2 = na2 * nb2
+    return np.divide(dot, np.sqrt(n2), out=np.zeros_like(dot), where=n2 > 0)
+
+
+def _fold_proj_np(mat, planes):
+    """(N, P) hyperplane projections of an (N, dim) float64 matrix, each
+    accumulated in dimension order — the twin of :func:`bucket_key_col`'s
+    per-plane aggregate(zip_with(vec, w, x*w))."""
+    import numpy as np
+    acc = np.zeros((mat.shape[0], planes.shape[0]))
+    for i in range(mat.shape[1]):
+        acc = acc + mat[:, i, None] * planes[None, :, i]
+    return acc
+
+
+def _fold_buckets_np(mat, planes, powers):
+    """Sign-bit LSH bucket ids from dim-ordered fold projections — bit-exact
+    twin of :func:`bucket_key_col` (not ulp-approximate like a BLAS matmul:
+    the fold order is preserved, so a projection that the Column path rounds
+    to exactly 0.0 rounds to 0.0 here too)."""
+    proj = _fold_proj_np(mat, planes)
+    return ((proj > 0) @ powers).astype("int64")
+
+
+def _vec_matrix(series):
+    """(N, dim) float64 matrix from an Arrow-batch pandas column of
+    embedding arrays (float32 -> float64 widening is exact)."""
+    import numpy as np
+    return np.array(list(series), dtype=np.float64)
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (qids, qmat) — queries are the small side by contract
+    (same collect the Arrow twins have always done)."""
+    import numpy as np
+    rows = queries.select(F.col(id_col),
+                          F.col(vec_col).cast("array<double>")).collect()
+    if not rows:
+        return None, None
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in rows], dtype=np.float64)
+    return qids, qmat
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism so a
+    single-file parquet scan does not serialize the whole mapInPandas stage
+    through one task (observed: the embedding table reads as 1-2 input
+    splits, so every ANN map stage ran on <= 2 of 32 cores).  Result sets
+    are batching-invariant (per-batch top-k is a superset filter), so the
+    round-robin placement never changes output."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _ranked_topk_partials(embeddings: DataFrame, qids, qmat, k: int, *,
+                          id_col: str, vec_col: str,
+                          pair_mask=None) -> DataFrame:
+    """(query_id, target_id, cosine) per-batch exact top-k partials.
+
+    One pass over the targets: each Arrow batch computes dim-ordered fold
+    cosines against the driver-side query matrix (all pairs, or only the
+    pairs ``pair_mask(ids, tmat) -> (B, Q) bool`` admits), drops
+    self-matches, and emits its per-query top-k by (cosine desc, id asc).
+    Because emitted cosines ARE the exact fold values, the caller's final
+    window reproduces the interpreted-HOF ranking bit-for-bit; per-batch
+    top-k only prunes rows that can never reach the global top k."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qn2 = _fold_norms_np(qmat)
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("target_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            tmat = _vec_matrix(pdf["__vec"])
+            tn2 = _fold_norms_np(tmat)
+            if pair_mask is None:
+                cos = _guarded_cos_np(_fold_dot_matrix_np(tmat, qmat),
+                                      tn2[:, None], qn2[None, :])
+                cos[ids[:, None] == qids[None, :]] = -np.inf
+                kk = min(k, cos.shape[0])
+                out_q, out_t, out_c = [], [], []
+                for j in range(cos.shape[1]):
+                    order = np.lexsort((ids, -cos[:, j]))[:kk]
+                    keep = order[np.isfinite(cos[order, j])]
+                    out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
+                    out_t.append(ids[keep])
+                    out_c.append(cos[keep, j])
+                bi = np.concatenate(out_t) if out_t else np.array([], dtype=np.int64)
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q) if out_q else np.array([], dtype=np.int64),
+                    "target_id": bi,
+                    "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+                })
+                continue
+            mask = pair_mask(ids, tmat)
+            mask &= ids[:, None] != qids[None, :]
+            bi, qi = np.nonzero(mask)
+            if not len(bi):
+                continue
+            dot = _fold_dot_rows_np(tmat[bi], qmat[qi])
+            cos = _guarded_cos_np(dot, tn2[bi], qn2[qi])
+            order = np.lexsort((ids[bi], -cos, qi))
+            qs = qi[order]
+            idx = np.arange(len(qs))
+            starts = np.where(np.r_[True, qs[1:] != qs[:-1]], idx, 0)
+            rank_in_q = idx - np.maximum.accumulate(starts)
+            keep = order[rank_in_q < k]
+            yield pd.DataFrame({
+                "query_id": qids[qi[keep]],
+                "target_id": ids[bi[keep]],
+                "cosine": cos[keep],
+            })
+
+    src = _spread(embeddings.select(F.col(id_col).alias("__id"),
+                                    F.col(vec_col).alias("__vec")))
+    return src.mapInPandas(score, schema)
+
+
+def _rank_partials(partial: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("target_id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "target_id", "rank"))
 
 
 def _empty_ranked(df: DataFrame) -> DataFrame:
@@ -281,35 +467,54 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     modulus subset — pass :func:`ivf_train_kmeans` output for trained
     coarse quantization (higher recall on clustered corpora; the trained
     path trades the SQL oracle for a recall pytest).
-    """
+
+    r8: assignment + rescore now run as ONE fold-exact mapInPandas pass
+    (see :func:`cosine_topk`): the centroid table (fixed budget — always
+    driver-small) is collected once, each target batch fold-assigns its
+    vectors (argmax over cid-ascending centroids = max cosine, tie ->
+    lowest cid, exactly the former groupBy(max(struct)) semantics), masks
+    itself against the driver-side query probe lists, and fold-rescores
+    only admitted pairs.  A target sits in exactly ONE list and a query's
+    probed lists are pairwise distinct, so each pair is considered at most
+    once (invariant pinned by test_ann_outputs_have_no_duplicate_pairs);
+    cosines, ties and ranks are bit-identical to the former join."""
+    import numpy as np
     if centroids is not None:
-        cents = centroids.select(F.col("cid"),
-                                 F.col("cvec").cast("array<double>").alias("cvec"))
+        crows = centroids.select(F.col("cid"),
+                                 F.col("cvec").cast("array<double>")).collect()
     else:
         n = n_vectors if n_vectors is not None else embeddings.count()
         mod = _centroid_modulus(n, n_centroids)
-        cents = embeddings.filter(F.col(id_col) % mod == 0).select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cvec"))
-    t = embeddings.select(F.col(id_col).alias("target_id"),
-                          F.col(vec_col).cast("array<double>").alias("tvec"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
-    t_assigned = _assign_lists(t, cents, "target_id", "tvec", 1)
-    q_probed = _assign_lists(q, cents, "query_id", "qvec", n_probe)
-    cand = (t_assigned.join(F.broadcast(q_probed), "list_id")
-            .filter(F.col("target_id") != F.col("query_id")))
-    cos = _cosine(F.col("qvec"), F.col("tvec"))
-    # no distinct: a target sits in exactly ONE list and a query's probed
-    # list_ids are pairwise distinct (row_number ranks), so each
-    # (query, target) pair joins at most once — deduping again would cost a
-    # full shuffle for nothing (invariant pinned by
-    # test_ann_outputs_have_no_duplicate_pairs)
-    scored = cand.select("query_id", "target_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "target_id", "rank"))
+        crows = (embeddings.filter(F.col(id_col) % mod == 0)
+                 .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+                 .collect())
+    qids, qmat = _collect_queries(queries, id_col, vec_col)
+    if qids is None or not crows:
+        # empty queries or an empty centroid set both joined to nothing in
+        # the former Column plan — preserve that, don't raise
+        return _empty_ranked(embeddings)
+    crows.sort(key=lambda r: r[0])              # cid ascending: first max
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.array([r[1] for r in crows], dtype=np.float64)
+    cn2 = _fold_norms_np(cmat)
+    qn2 = _fold_norms_np(qmat)
+    qcos = _guarded_cos_np(_fold_dot_matrix_np(qmat, cmat),
+                           qn2[:, None], cn2[None, :])
+    keepn = min(n_probe, len(cids))
+    qprobe = np.stack([cids[np.lexsort((cids, -qcos[j]))[:keepn]]
+                       for j in range(len(qids))])       # Q x n_probe
+
+    def pair_mask(ids, tmat):
+        tn2 = _fold_norms_np(tmat)
+        tcos = _guarded_cos_np(_fold_dot_matrix_np(tmat, cmat),
+                               tn2[:, None], cn2[None, :])
+        assign = cids[np.argmax(tcos, axis=1)]  # first max -> lowest cid
+        return (assign[:, None, None] == qprobe[None, :, :]).any(axis=2)
+
+    partial = _ranked_topk_partials(embeddings, qids, qmat, k,
+                                    id_col=id_col, vec_col=vec_col,
+                                    pair_mask=pair_mask)
+    return _rank_partials(partial, k)
 
 
 def ivf_topk_sql(table: str, queries_filter: str, k: int,
@@ -440,32 +645,39 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     """Approximate cosine top-k: candidates share an LSH bucket (or differ by
     one sign bit when multiprobe), rescored exactly, ranked per query.
     ``dim`` (inferred from one row when omitted) switches the bucketer to
-    precomputed literal plane weights — no per-row md5."""
+    precomputed literal plane weights — no per-row md5.
+
+    r8: one mapInPandas pass replaces the interpreted-HOF bucketer + rescore
+    (both ran as uncompiled lambdas) and the bucket join: each target batch
+    derives its buckets with the dim-ordered fold (bit-exact vs
+    :func:`bucket_key_col`), masks itself against the driver-side query
+    probe sets, fold-rescores only the admitted pairs, and emits per-batch
+    top-k partials.  Candidate set, cosines, ties and ranks are identical
+    to the former join (a target has ONE bucket and a query's probe keys
+    are pairwise distinct, so each pair is considered at most once)."""
+    import numpy as np
     if dim is None:
         dim = _infer_dim(embeddings, vec_col)
-    t = embeddings.select(F.col(id_col).alias("target_id"),
-                          F.col(vec_col).cast("array<double>").alias("tvec"))
-    t = t.withColumn("bucket", bucket_key_col(F.col("tvec"), dim))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
-    q = q.withColumn("qbucket", bucket_key_col(F.col("qvec"), dim))
+    qids, qmat = _collect_queries(queries, id_col, vec_col)
+    if qids is None:
+        return _empty_ranked(embeddings)
+    planes = np.array(_plane_weights(dim, N_PLANES), dtype=np.float64)
+    powers = (1 << np.arange(N_PLANES)).astype(np.int64)
+    qb = _fold_buckets_np(qmat, planes, powers)
     if multiprobe:
-        probes = F.array(F.col("qbucket"),
-                         *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
-        q = q.withColumn("bucket", F.explode(probes))
+        probe_arr = np.stack([qb] + [qb ^ (1 << p) for p in range(N_PLANES)],
+                             axis=1)                     # Q x (P+1)
     else:
-        q = q.withColumn("bucket", F.col("qbucket"))
-    cand = t.join(F.broadcast(q.drop("qbucket")), "bucket") \
-            .filter(F.col("target_id") != F.col("query_id"))
-    cos = _cosine(F.col("qvec"), F.col("tvec"))
-    # no distinct: a target has ONE bucket and the multiprobe keys of a
-    # query (qbucket + 8 one-bit flips) are pairwise distinct, so each
-    # (query, target) pair joins at most once (see ivf_topk note)
-    scored = cand.select("query_id", "target_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "target_id", "rank"))
+        probe_arr = qb[:, None]
+
+    def pair_mask(ids, tmat):
+        tb = _fold_buckets_np(tmat, planes, powers)
+        return (tb[:, None, None] == probe_arr[None, :, :]).any(axis=2)
+
+    partial = _ranked_topk_partials(embeddings, qids, qmat, k,
+                                    id_col=id_col, vec_col=vec_col,
+                                    pair_mask=pair_mask)
+    return _rank_partials(partial, k)
 
 
 def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20), *,
@@ -485,13 +697,12 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
     float-literal boundary drift between engines.
 
     ``max_bucket_freq``: hot-bucket cap for scale.  A bucket holding S
-    vectors yields ~S^2 candidate rows in the self-join, so one degenerate
-    bucket (e.g. millions of near-zero or boilerplate embeddings hashing
-    alike) melts the join at 100x data.  With the cap, buckets whose
-    exact-key population exceeds it are dropped from candidate generation
-    entirely — strictly conservative (capped output is a subset of
-    uncapped).  None disables the cap (exact LSH semantics; what the
-    driver oracle checks).
+    vectors yields ~S^2 candidate rows, so one degenerate bucket (e.g.
+    millions of near-zero or boilerplate embeddings hashing alike) melts
+    the rescore at 100x data.  With the cap, buckets whose exact-key
+    population exceeds it are dropped from candidate generation entirely —
+    strictly conservative (capped output is a subset of uncapped).  None
+    disables the cap (exact LSH semantics; what the driver oracle checks).
 
     ``n_planes``: LSH plane count — pass the same count to
     :func:`near_dup_pairs_sql` when verifying (its plane derivation is
@@ -499,115 +710,105 @@ def near_dup_pairs(embeddings: DataFrame, threshold: tuple[int, int] = (19, 20),
     at corpus scale so per-bucket candidate cost stays constant (see
     :func:`bucket_key_col` and jobs/near_dup_job.py; scale settings are
     additionally recall-pinned by the stress harness).
+
+    r8 shape (guide §8: decide locally, move heavy bytes once): the former
+    path shuffled CANDIDATE-PAIR ids out of the bucket join and then
+    attached both vectors to every pair with two id joins — at sf1.0 that
+    shipped each vector once per candidate pair (~pairs x 2 x 512 B, the
+    dominant exchange) into an interpreted-HOF rescore (165 s; the Arrow
+    variant still paid the joins, 31 s).  Now ONE mapInPandas pass stamps
+    each vector with its dim-ordered-fold bucket (bit-exact vs
+    :func:`bucket_key_col`), the exact side groups by bucket, the probe
+    side explodes its n_planes+1 probe keys, and a cogrouped applyInPandas
+    rescore forms the per-bucket pair matrix IN MEMORY with fold cosines —
+    vectors ride the shuffle (n_planes + 2) times total, independent of the
+    candidate count, and only passing (a, b) pairs are emitted.  The
+    accepted set is bit-identical: same buckets, same probe keys, same
+    fold cosine, same rational-threshold comparison.  ``impl`` is kept for
+    API compatibility — 'column' and 'arrow' now run this same pipeline
+    (their former outputs were pinned equal by pytest).
     """
-    num, den = threshold
-    if dim is None and mode == "lsh":
-        dim = _infer_dim(embeddings, vec_col)
-    t = embeddings.select(F.col(id_col).alias("a"),
-                          F.col(vec_col).cast("array<double>").alias("avec"))
-    u = embeddings.select(F.col(id_col).alias("b"),
-                          F.col(vec_col).cast("array<double>").alias("bvec"))
-    if mode == "lsh":
-        # the candidate join carries IDS ONLY — vectors rejoin by id after,
-        # so the wide arrays never ride the bucket shuffle.  No dedup
-        # needed: a vector has ONE exact bucket and the multiprobe keys of
-        # the other side are pairwise distinct, so each (a, b) pair joins
-        # at most once (invariant pinned by
-        # test_ann_outputs_have_no_duplicate_pairs).
-        # impl='arrow' swaps the interpreted fold-lambda bucketer for the
-        # BLAS batch matmul (:func:`_buckets_arrow`) — same buckets unless
-        # a projection ties zero within ulps.  Both join sides derive from
-        # ONE bucketing pass: the (id, bucket) frame is eagerly
-        # localCheckpoint-ed (ids-only — 16 B/row, bounded at any scale),
-        # so the embeddings — the dominant scan — are read once for
-        # bucketing instead of once per side; the two self-join branches
-        # then scan the checkpointed RDD, not the source.  The checkpoint
-        # is LAZY (materializes at the caller's first action, so building
-        # the plan / .explain() stays free) and its ids-only storage is
-        # released by the ContextCleaner when the result DataFrame is
-        # garbage-collected — per-call storage is bounded and reclaimed,
-        # not leaked for the session's lifetime.
-        if impl == "arrow":
-            bk = _buckets_arrow(embeddings.select(F.col(id_col).alias("vid"),
-                                                  F.col(vec_col).alias("v")),
-                                "vid", "v", dim,
-                                n_planes=n_planes).localCheckpoint(eager=False)
-            tb = bk.select(F.col("vid").alias("a"), "bucket")
-            ub0 = bk.select(F.col("vid").alias("b"),
-                            F.col("bucket").alias("qbucket"))
-        else:
-            tb = t.select("a", bucket_key_col(F.col("avec"), dim, n_planes).alias("bucket"))
-            ub0 = u.select("b", bucket_key_col(F.col("bvec"), dim, n_planes).alias("qbucket"))
-        if max_bucket_freq is not None:
-            cool = (tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bf"))
-                    .filter(F.col("bf") <= max_bucket_freq).select("bucket"))
-            tb = tb.join(cool, "bucket", "left_semi")
-        probes = F.array(F.col("qbucket"),
-                         *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
-        ub = ub0.withColumn("bucket", F.explode(probes)).drop("qbucket")
-        if max_bucket_freq is not None:
-            ub = ub.join(cool, "bucket", "left_semi")
-        cand_ids = (tb.join(ub, "bucket").filter(F.col("a") < F.col("b"))
-                    .select("a", "b"))
-        cand = cand_ids.join(t, "a").join(u, "b")
-    elif mode == "exact":
-        cand = t.join(u, F.col("a") < F.col("b"))
-    else:
-        raise ValueError("mode must be 'lsh' or 'exact'")
-    if impl == "arrow" and mode == "lsh":
-        # vectorized rescore with an exact boundary band — output identical
-        # to the HOF filter (see _rescore_banded), ~10x less rescore CPU on
-        # the candidate set, which dominates this operator's wall time
-        return _rescore_banded(cand, num, den)
-    cos = _cosine(F.col("avec"), F.col("bvec"))
-    return (cand.withColumn("cosine", cos)
-            .filter(F.col("cosine") * den >= F.lit(num))
-            .select("a", "b"))
-
-
-def _rescore_banded(cand: DataFrame, num: int, den: int) -> DataFrame:
-    """Threshold rescore of (a, b, avec, bvec) candidate pairs: one BLAS
-    einsum per Arrow batch decides every pair whose margin from the
-    threshold exceeds BAND; the (empirically empty) boundary band is
-    re-evaluated with the EXACT sequential fold the Column/SQL paths use —
-    so the accepted set is bit-identical to the interpreted HOF filter, at
-    vectorized speed.  The band is 1e-9 in COSINE units, scaled by ``den``
-    to margin units (margin = cos*den - num, so BLAS-vs-fold cosine
-    divergence is amplified by den): 1e-9 is ~10^4 x the worst-case
-    pairwise-vs-sequential summation divergence for dim <= 10^4
-    (~dim * eps), so a BLAS-vs-fold decision flip can only occur INSIDE
-    the band, where the fold decides — for any rational threshold."""
-    import math
     import numpy as np
+    import pandas as pd
 
-    BAND = 1e-9 * den
+    num, den = threshold
+    if mode == "exact":
+        t = embeddings.select(F.col(id_col).alias("a"),
+                              F.col(vec_col).cast("array<double>").alias("avec"))
+        u = embeddings.select(F.col(id_col).alias("b"),
+                              F.col(vec_col).cast("array<double>").alias("bvec"))
+        cand = t.join(u, F.col("a") < F.col("b"))
+        cos = _cosine(F.col("avec"), F.col("bvec"))
+        return (cand.withColumn("cosine", cos)
+                .filter(F.col("cosine") * den >= F.lit(num))
+                .select("a", "b"))
+    if mode != "lsh":
+        raise ValueError("mode must be 'lsh' or 'exact'")
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
 
-    def run(batches):
+    planes = np.array(_plane_weights(dim, n_planes), dtype=np.float64)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def bucketize(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            a = np.array(list(pdf["avec"]), dtype=np.float64)
-            b = np.array(list(pdf["bvec"]), dtype=np.float64)
-            margin = np_guarded_cosine(a, b) * den - num
-            accept = margin >= BAND
-            for i in np.flatnonzero(np.abs(margin) < BAND):
-                # exact left fold, identical op order to F.aggregate/DuckDB
-                av, bv = pdf["avec"].iloc[i], pdf["bvec"].iloc[i]
-                s = 0.0
-                for x, y in zip(av, bv):
-                    s += x * y
-                na = 0.0
-                for x in av:
-                    na += x * x
-                nb = 0.0
-                for y in bv:
-                    nb += y * y
-                n2e = na * nb
-                ce = s / math.sqrt(n2e) if n2e > 0 else 0.0
-                accept[i] = ce * den >= num
-            yield pdf.loc[accept, ["a", "b"]]
+            buckets = _fold_buckets_np(_vec_matrix(pdf["v"]), planes, powers)
+            yield pd.DataFrame({"vid": pdf["vid"].to_numpy(dtype=np.int64),
+                                "bucket": buckets,
+                                "v": pdf["v"]})
 
-    return cand.select("a", "b", "avec", "bvec").mapInPandas(run, "a long, b long")
+    # vectors stay float32 through the shuffle (the fold widens to float64
+    # in-memory, exactly like the former cast-then-join did) — half the
+    # exchange bytes of the old array<double> join sides (guide §2.3)
+    src = _spread(embeddings.select(F.col(id_col).alias("vid"),
+                                    F.col(vec_col).alias("v")))
+    bk = src.mapInPandas(bucketize, "vid long, bucket long, v array<float>") \
+            .localCheckpoint(eager=False)   # ONE bucketing pass feeds both sides
+    probes = F.array(F.col("bucket"),
+                     *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                       for p in range(n_planes)])
+    # the probe side re-aliases EVERY column with fresh names: both cogroup
+    # sides derive from the same checkpointed frame, and shared attribute
+    # ids across the two children make the Python-runner argument dedup
+    # collapse the probe side's payload columns into the exact side's
+    # (observed as a right-side frame holding only the key column) — the
+    # same self-join-over-checkpoint trap connected_components documents
+    pr = bk.select(F.col("vid").alias("pvid"), F.col("v").alias("pv"),
+                   F.explode(probes).alias("pbucket"))
+
+    cap = max_bucket_freq
+
+    def rescore(ex_pdf, pr_pdf):
+        out_a, out_b = [], []
+        # the hot-bucket cap counts EXACT-side population — a capped bucket
+        # contributes no pairs at all, exactly the former cool-semi-join
+        if len(ex_pdf) and len(pr_pdf) and (cap is None or len(ex_pdf) <= cap):
+            a_ids = ex_pdf["vid"].to_numpy(dtype=np.int64)
+            b_ids = pr_pdf["pvid"].to_numpy(dtype=np.int64)
+            amat = _vec_matrix(ex_pdf["v"])
+            bmat = _vec_matrix(pr_pdf["pv"])
+            na2 = _fold_norms_np(amat)
+            nb2 = _fold_norms_np(bmat)
+            # chunk the exact side so the pair matrix stays bounded
+            step = max(1, (1 << 22) // max(1, len(b_ids)))
+            for lo in range(0, len(a_ids), step):
+                hi = min(lo + step, len(a_ids))
+                cos = _guarded_cos_np(
+                    _fold_dot_matrix_np(amat[lo:hi], bmat),
+                    na2[lo:hi, None], nb2[None, :])
+                keep = (a_ids[lo:hi, None] < b_ids[None, :]) & (cos * den >= num)
+                ai, bi = np.nonzero(keep)
+                out_a.append(a_ids[lo:hi][ai])
+                out_b.append(b_ids[bi])
+        return pd.DataFrame({
+            "a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+            "b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+        })
+
+    return (bk.groupby("bucket").cogroup(pr.groupby("pbucket"))
+            .applyInPandas(rescore, "a long, b long"))
 
 
 def near_dup_pairs_sql(table: str, threshold: tuple[int, int] = (19, 20),
@@ -715,46 +916,88 @@ def quantized_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     INTEGER dot product and keeps the top ``m`` per query; stage 2 rescores
     only those ``m`` survivors with the exact double cosine and ranks top
     ``k``.  At 10^12 vectors the quantized copy is what ships through the
-    scan/shuffle — 8x fewer bytes than float64 (1 B/dim) — and the float
-    vectors are fetched by id for just m rows/query.  Integer arithmetic is
+    scan/shuffle — 8x fewer bytes than float64 (1 B/dim) — and per-executor
+    integer matmuls replace the global sort.  Integer arithmetic is
     bit-identical across engines, so the survivor SET (ties broken by id)
     and therefore the final ranking are oracle-exact
     (:func:`quantized_topk_sql`).
-    """
-    t = embeddings.select(F.col(id_col).alias("target_id"),
-                          F.col(vec_col).cast("array<double>").alias("tvec"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
 
-    def quant(vec):
-        # the scale rides an array_repeat ARGUMENT, not the lambda body: an
-        # expression referenced inside a HOF lambda is re-evaluated per
-        # element (the r2 shingling trap — array_max alone is O(dim), so
-        # inlining it would make quantization O(dim^2) per row); as a repeat
-        # argument it is evaluated once per row no matter what
-        # CollapseProject inlines
-        return F.zip_with(vec, F.array_repeat(_quant_scale(vec), F.size(vec)),
-                          lambda x, s: F.floor(x * s).cast("int"))
+    r8: the two stages are FUSED into one mapInPandas pass.  The former
+    Column path scored every (target, query) pair with an interpreted HOF
+    integer dot and sorted ALL N rows per query in a window (116 s at
+    sf1.0); the former Arrow twin fixed stage 1 but still rejoined the
+    float vectors by id for the stage-2 HOF rescore.  Now each target
+    batch quantizes (identical floor(x * 127/max|x|) float64 arithmetic),
+    computes the exact batch x query int64 dot matrix, keeps its per-batch
+    top ``m`` per query (idot desc, id asc), and emits those rows with BOTH
+    the integer score and the dim-ordered-fold exact cosine — so stage 1's
+    global window ranks O(m * n_batches) rows, and stage 2 is a second sort
+    over the same exchange with no vector rejoin.  Survivor set, cosines
+    and ranks are bit-identical to both former paths."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    tq = t.select("target_id", quant(F.col("tvec")).alias("tq"))
-    qq = q.select("query_id", quant(F.col("qvec")).alias("qq"))
-    idot = F.aggregate(F.zip_with(F.col("qq"), F.col("tq"),
-                                  lambda x, y: (x * y).cast("long")),
-                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+    qids, qmat = _collect_queries(queries, id_col, vec_col)
+    if qids is None:
+        return _empty_ranked(embeddings)
+
+    def quant_np(mat: "np.ndarray") -> "np.ndarray":
+        # same arithmetic as the Column/SQL quantizer: scale = 127/max|x|
+        # (0 for the zero vector), value = floor(x * scale) — float64
+        # multiply then floor, so every int matches both engines exactly
+        mx = np.abs(mat).max(axis=1, keepdims=True)
+        scale = np.divide(127.0, mx, out=np.zeros_like(mx), where=mx > 0)
+        return np.floor(mat * scale).astype(np.int64)
+
+    qq = quant_np(qmat)                                  # Q x D int64
+    qn2 = _fold_norms_np(qmat)
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("target_id", T.LongType()),
+        T.StructField("idot", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            tmat = _vec_matrix(pdf["__vec"])
+            tq = quant_np(tmat)
+            idot = tq @ qq.T                             # B x Q, exact int64
+            tn2 = _fold_norms_np(tmat)
+            mm = min(m, idot.shape[0])
+            sel_b, sel_q = [], []
+            for j in range(idot.shape[1]):
+                keep = np.flatnonzero(ids != qids[j])    # self-matches out
+                order = keep[np.lexsort((ids[keep], -idot[keep, j]))][:mm]
+                sel_b.append(order)
+                sel_q.append(np.full(len(order), j, dtype=np.int64))
+            bi = np.concatenate(sel_b) if sel_b else np.array([], dtype=np.int64)
+            qi = np.concatenate(sel_q) if sel_q else np.array([], dtype=np.int64)
+            if not len(bi):
+                continue
+            cos = _guarded_cos_np(_fold_dot_rows_np(tmat[bi], qmat[qi]),
+                                  tn2[bi], qn2[qi])
+            yield pd.DataFrame({
+                "query_id": qids[qi],
+                "target_id": ids[bi],
+                "idot": idot[bi, qi],
+                "cosine": cos,
+            })
+
+    src = _spread(embeddings.select(F.col(id_col).alias("__id"),
+                                    F.col(vec_col).alias("__vec")))
+    partial = src.mapInPandas(score, schema)
     w1 = Window.partitionBy("query_id").orderBy(F.col("idot").desc(),
                                                 F.col("target_id").asc())
-    survivors = (tq.join(F.broadcast(qq), F.col("target_id") != F.col("query_id"))
-                 .select("query_id", "target_id", idot.alias("idot"))
-                 .withColumn("mrank", F.row_number().over(w1))
-                 .filter(F.col("mrank") <= m)
-                 .select("query_id", "target_id"))
-    cand = survivors.join(t, "target_id").join(
-        q.withColumnRenamed("query_id", "qid2"),
-        F.col("query_id") == F.col("qid2")).drop("qid2")
-    cos = _cosine(F.col("qvec"), F.col("tvec"))
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                 F.col("target_id").asc())
-    return (cand.select("query_id", "target_id", cos.alias("cosine"))
+    return (partial.withColumn("mrank", F.row_number().over(w1))
+            .filter(F.col("mrank") <= m)
             .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select("query_id", "target_id", "rank"))
@@ -818,227 +1061,38 @@ def cosine_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
     the classic distributed brute-force kNN shape, shuffling only
     O(k * n_batches) rows per query.
 
-    BLAS pairwise summation rounds differently than the sequential fold,
-    so COSINES differ by ulps from :func:`cosine_topk`; the (query_id,
-    target_id, rank) OUTPUT is identical unless two cosines tie within
-    ~1 ulp (vanishing on real embeddings; equality on the test corpora is
-    pinned by pytest, and the driver value-checks it against the same SQL
-    oracle as the HOF path).
-    """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    qrows = queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
-    if not qrows:
-        # match cosine_topk: a filter selecting no queries yields an empty
-        # result, not an error (the Column twin's broadcast join does this
-        # implicitly)
-        return _empty_ranked(embeddings)
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qmat = np.divide(qmat, np.where(qn > 0, qn, 1.0))
-
-    schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("target_id", T.LongType()),
-        T.StructField("cosine", T.DoubleType()),
-    ])
-
-    def score(batches):
-        for pdf in batches:
-            ids = pdf["__id"].to_numpy(dtype=np.int64)
-            tmat = np.array(list(pdf["__vec"]), dtype=np.float64)
-            tn = np.linalg.norm(tmat, axis=1, keepdims=True)
-            tmat = np.divide(tmat, np.where(tn > 0, tn, 1.0))
-            cos = tmat @ qmat.T                      # B x Q
-            cos[ids[:, None] == qids[None, :]] = -np.inf  # self-matches out
-            kk = min(k, cos.shape[0])
-            out_q, out_t, out_c = [], [], []
-            for j in range(cos.shape[1]):
-                order = np.lexsort((ids, -cos[:, j]))[:kk]
-                keep = order[np.isfinite(cos[order, j])]
-                out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
-                out_t.append(ids[keep])
-                out_c.append(cos[keep, j])
-            yield pd.DataFrame({
-                "query_id": np.concatenate(out_q) if out_q else np.array([], dtype=np.int64),
-                "target_id": np.concatenate(out_t) if out_t else np.array([], dtype=np.int64),
-                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
-            })
-
-    src = embeddings.select(F.col(id_col).alias("__id"),
-                            F.col(vec_col).cast("array<double>").alias("__vec"))
-    partial = src.mapInPandas(score, schema)
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("target_id").asc())
-    return (partial.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "target_id", "rank"))
-
-
-def _buckets_arrow(df: DataFrame, id_name: str, vec_name: str, dim: int,
-                   out_name: str = "bucket",
-                   n_planes: int = N_PLANES) -> DataFrame:
-    """(id, bucket) via one BLAS matmul per Arrow batch against the
-    precomputed plane matrix — the vectorized twin of
-    :func:`bucket_key_col` (whose 8 interpreted fold-lambdas dominate the
-    LSH wall time; HOFs are never codegen'd).  Sign bits agree with the
-    sequential fold unless a projection ties zero within ulps (measure-zero
-    on real embeddings; equality on the test corpora pinned by pytest)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    planes = np.array(_plane_weights(dim, n_planes), dtype=np.float64)  # P x dim
-    powers = (1 << np.arange(n_planes)).astype(np.int64)
-
-    schema = T.StructType([
-        T.StructField(id_name, T.LongType()),
-        T.StructField(out_name, T.LongType()),
-    ])
-
-    def score(batches):
-        for pdf in batches:
-            ids = pdf[id_name].to_numpy(dtype=np.int64)
-            vecs = np.array(list(pdf[vec_name]), dtype=np.float64)
-            proj = vecs @ planes.T                      # B x P
-            buckets = ((proj > 0) @ powers).astype(np.int64)
-            yield pd.DataFrame({id_name: ids, out_name: buckets})
-
-    return df.select(F.col(id_name),
-                     F.col(vec_name).cast("array<double>").alias(vec_name)) \
-             .mapInPandas(score, schema)
+    r8: the partial-scoring pass now uses the dim-ordered fold (bit-exact
+    against the HOF/DuckDB sequential fold at the same vectorized speed —
+    the former BLAS matmul differed by ulps, which was only
+    tie-probabilistically safe), so this twin is exactly
+    :func:`cosine_topk` and shares its implementation."""
+    return cosine_topk(embeddings, queries, k, id_col=id_col, vec_col=vec_col)
 
 
 def lsh_bucket_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           dim: int | None = None) -> DataFrame:
-    """Arrow-bucketed twin of :func:`lsh_bucket_topk` (multiprobe on):
-    buckets via BLAS (ids-only frames — vectors never ride the bucket
-    join), exact HOF rescore of the small candidate sets, identical
-    ranking.  Same oracle as the Column path."""
-    if dim is None:
-        dim = _infer_dim(embeddings, vec_col)
-    t = embeddings.select(F.col(id_col).alias("target_id"),
-                          F.col(vec_col).cast("array<double>").alias("tvec"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
-    tb = _buckets_arrow(embeddings.select(F.col(id_col).alias("target_id"),
-                                          F.col(vec_col).alias("v")),
-                        "target_id", "v", dim)
-    qb0 = _buckets_arrow(queries.select(F.col(id_col).alias("query_id"),
-                                        F.col(vec_col).alias("v")),
-                         "query_id", "v", dim, out_name="qbucket")
-    probes = F.array(F.col("qbucket"),
-                     *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
-    qb = qb0.withColumn("bucket", F.explode(probes)).drop("qbucket")
-    cand = (tb.join(F.broadcast(qb), "bucket")
-            .filter(F.col("target_id") != F.col("query_id"))
-            .select("query_id", "target_id")
-            .join(t, "target_id").join(q, "query_id"))
-    cos = _cosine(F.col("qvec"), F.col("tvec"))
-    scored = cand.select("query_id", "target_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "target_id", "rank"))
+    """Arrow twin of :func:`lsh_bucket_topk` (multiprobe on).
+
+    r8: the Column path now IS the single-pass fold-exact Arrow pipeline
+    (its former BLAS bucketer + ids-only join + interpreted-HOF rescore
+    paid two extra vector rejoins and an uncompiled rescore), so this twin
+    delegates — same buckets, same cosines, same oracle."""
+    return lsh_bucket_topk(embeddings, queries, k, id_col=id_col,
+                           vec_col=vec_col, dim=dim)
 
 
 def quantized_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
                          m: int = QUANT_TOPM,
                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Arrow/NumPy twin of :func:`quantized_topk` — removes the full N x Q
-    window sort from stage 1.
+    """Arrow twin of :func:`quantized_topk`.
 
-    The Column path scores every target against every query with an
-    interpreted HOF integer dot, then sorts ALL N rows per query to keep the
-    top ``m`` — a full sort-shuffle whose row count the int8 payload does
-    not shrink.  Here each Arrow batch quantizes its targets (the identical
-    floor(x * 127/max|x|) scheme — float64 multiply + floor, bit-identical
-    to the Column/SQL paths), computes the batch x query INTEGER dot matrix
-    (int64 matmul — exact), and keeps the per-batch top ``m`` per query
-    (idot desc, id asc lexsort); the final stage-1 window ranks only
-    O(m * n_batches) survivor rows.  Integer scores are engine-exact, so
-    the survivor SET — and therefore the exact-rescore stage-2 output — is
-    the same as :func:`quantized_topk` and shares its SQL oracle
-    (:func:`quantized_topk_sql`).
-
-    At 10^12 targets the int8 copy is what ships through the scan (8x fewer
-    bytes/dim than float64) and per-executor matmuls replace the global
-    sort — the same shape as :func:`cosine_topk_arrow`, with the integer
-    stage keeping bit-exactness that a float BLAS stage cannot.
-    """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    qrows = queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
-    if not qrows:
-        return _empty_ranked(embeddings)
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-
-    def quant_np(mat: "np.ndarray") -> "np.ndarray":
-        # same arithmetic as the Column/SQL quantizer: scale = 127/max|x|
-        # (0 for the zero vector), value = floor(x * scale) — float64
-        # multiply then floor, so every int matches both engines exactly
-        mx = np.abs(mat).max(axis=1, keepdims=True)
-        scale = np.divide(127.0, mx, out=np.zeros_like(mx), where=mx > 0)
-        return np.floor(mat * scale).astype(np.int64)
-
-    qq = quant_np(qmat)                                  # Q x D int64
-
-    schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("target_id", T.LongType()),
-        T.StructField("idot", T.LongType()),
-    ])
-
-    def score(batches):
-        for pdf in batches:
-            ids = pdf["__id"].to_numpy(dtype=np.int64)
-            tq = quant_np(np.array(list(pdf["__vec"]), dtype=np.float64))
-            idot = tq @ qq.T                             # B x Q, exact int64
-            mm = min(m, idot.shape[0])
-            out_q, out_t, out_d = [], [], []
-            for j in range(idot.shape[1]):
-                keep = np.flatnonzero(ids != qids[j])    # self-matches out
-                order = keep[np.lexsort((ids[keep], -idot[keep, j]))][:mm]
-                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
-                out_t.append(ids[order])
-                out_d.append(idot[order, j])
-            yield pd.DataFrame({
-                "query_id": np.concatenate(out_q) if out_q else np.array([], dtype=np.int64),
-                "target_id": np.concatenate(out_t) if out_t else np.array([], dtype=np.int64),
-                "idot": np.concatenate(out_d) if out_d else np.array([], dtype=np.int64),
-            })
-
-    src = embeddings.select(F.col(id_col).alias("__id"),
-                            F.col(vec_col).cast("array<double>").alias("__vec"))
-    partial = src.mapInPandas(score, schema)
-    w1 = Window.partitionBy("query_id").orderBy(F.col("idot").desc(),
-                                                F.col("target_id").asc())
-    survivors = (partial.withColumn("mrank", F.row_number().over(w1))
-                 .filter(F.col("mrank") <= m)
-                 .select("query_id", "target_id"))
-
-    # stage 2: identical exact-double rescore of the m survivors per query
-    t = embeddings.select(F.col(id_col).alias("target_id"),
-                          F.col(vec_col).cast("array<double>").alias("tvec"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
-    cand = survivors.join(t, "target_id").join(
-        q.withColumnRenamed("query_id", "qid2"),
-        F.col("query_id") == F.col("qid2")).drop("qid2")
-    cos = _cosine(F.col("qvec"), F.col("tvec"))
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                                F.col("target_id").asc())
-    return (cand.select("query_id", "target_id", cos.alias("cosine"))
-            .withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "target_id", "rank"))
+    r8: the Column path now IS the fused one-pass int8 + fold-exact
+    pipeline (the former twin still rejoined float vectors by id for the
+    stage-2 HOF rescore), so this twin delegates — same integer stage-1
+    scores, same exact rescore, same oracle."""
+    return quantized_topk(embeddings, queries, k, m=m,
+                          id_col=id_col, vec_col=vec_col)
 
 
 def ivf_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
@@ -1047,81 +1101,12 @@ def ivf_topk_arrow(embeddings: DataFrame, queries: DataFrame, k: int, *,
                    n_centroids: int = IVF_CENTROID_BUDGET,
                    n_vectors: int | None = None,
                    centroids: DataFrame | None = None) -> DataFrame:
-    """Arrow-assigned twin of :func:`ivf_topk`: the centroid table (a fixed
-    budget, so always driver-small) is collected once and every Arrow batch
-    assigns its vectors with one BLAS cosine matrix — the Column path's
-    interpreted per-row centroid cosines were the dominant cost.  Ties
-    break to the lowest centroid id exactly like the Column/SQL paths; the
-    list equi-join and the exact HOF rescore are identical, so the same
-    oracle applies (assignment flips would need a cosine tie within ulps).
-    """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    """Arrow twin of :func:`ivf_topk`.
 
-    if centroids is not None:
-        crows = (centroids.select(F.col("cid"),
-                                  F.col("cvec").cast("array<double>"))
-                 .collect())
-    else:
-        n = n_vectors if n_vectors is not None else embeddings.count()
-        mod = _centroid_modulus(n, n_centroids)
-        crows = (embeddings.filter(F.col(id_col) % mod == 0)
-                 .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-                 .collect())
-    if not crows:
-        raise ValueError("ivf_topk_arrow: empty centroid set")
-    cids = np.array([r[0] for r in crows], dtype=np.int64)
-    cmat = np.array([r[1] for r in crows], dtype=np.float64)
-    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
-    cmat = np.divide(cmat, np.where(cn > 0, cn, 1.0))
-    zero_cent = (cn[:, 0] == 0)
-
-    def assign(keep: int, out_id: str):
-        schema = T.StructType([T.StructField(out_id, T.LongType()),
-                               T.StructField("list_id", T.LongType())])
-
-        def run(batches):
-            for pdf in batches:
-                ids = pdf[out_id].to_numpy(dtype=np.int64)
-                vmat = np.array(list(pdf["__vec"]), dtype=np.float64)
-                vn = np.linalg.norm(vmat, axis=1, keepdims=True)
-                vmat = np.divide(vmat, np.where(vn > 0, vn, 1.0))
-                cos = vmat @ cmat.T                     # B x C
-                # zero-norm pairs score 0.0 (the _cosine guard's semantics)
-                cos[:, zero_cent] = 0.0
-                cos[vn[:, 0] == 0, :] = 0.0
-                out_i, out_l = [], []
-                for b in range(cos.shape[0]):
-                    order = np.lexsort((cids, -cos[b]))[:keep]
-                    out_i.append(np.full(len(order), ids[b], dtype=np.int64))
-                    out_l.append(cids[order])
-                yield pd.DataFrame({
-                    out_id: np.concatenate(out_i) if out_i else np.array([], dtype=np.int64),
-                    "list_id": np.concatenate(out_l) if out_l else np.array([], dtype=np.int64),
-                })
-        return run, schema
-
-    t_src = embeddings.select(F.col(id_col).alias("target_id"),
-                              F.col(vec_col).cast("array<double>").alias("__vec"))
-    q_src = queries.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).cast("array<double>").alias("__vec"))
-    run_t, sch_t = assign(1, "target_id")
-    run_q, sch_q = assign(n_probe, "query_id")
-    t_assigned = t_src.mapInPandas(run_t, sch_t)
-    q_probed = q_src.mapInPandas(run_q, sch_q)
-
-    t = embeddings.select(F.col(id_col).alias("target_id"),
-                          F.col(vec_col).cast("array<double>").alias("tvec"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
-    cand = (t_assigned.join(F.broadcast(q_probed), "list_id")
-            .filter(F.col("target_id") != F.col("query_id"))
-            .select("query_id", "target_id")
-            .join(t, "target_id").join(q, "query_id"))
-    cos = _cosine(F.col("qvec"), F.col("tvec"))
-    scored = cand.select("query_id", "target_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("target_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "target_id", "rank"))
+    r8: the Column path now IS the single-pass fold-exact Arrow pipeline
+    (its former shape paid two assignment mapInPandas passes, a list join
+    and an interpreted-HOF rescore with two vector rejoins), so this twin
+    delegates — same centroids, same assignment, same oracle."""
+    return ivf_topk(embeddings, queries, k, id_col=id_col, vec_col=vec_col,
+                    n_probe=n_probe, n_centroids=n_centroids,
+                    n_vectors=n_vectors, centroids=centroids)

@@ -66,18 +66,24 @@ def test_near_dup_bucket_join_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_near_dup_arrow_buckets_computed_once(spark, sf_dir):
-    """impl='arrow' must bucket the embeddings in ONE mapInPandas pass: the
-    (id, bucket) frame is eagerly localCheckpoint-ed and both self-join
-    sides scan the checkpointed RDD, so the only MapInPandas node left in
-    the plan is the banded rescore (the bucketer already ran, once) and
-    the only parquet scans are the two rescore vector rejoins."""
+def test_near_dup_buckets_once_vectors_never_rejoin(spark, sf_dir):
+    """r8 shape: ONE bucketing pass (lazy localCheckpoint; both cogroup
+    sides scan the checkpointed (vid, bucket, v) RDD), vectors ride the
+    bucket exchange n_planes+2 times total, and the per-bucket rescore is
+    a single cogrouped applyInPandas — no candidate-pair id join, no
+    vector rejoin by id (the former shape shipped each vector once per
+    candidate pair), no join operator at all."""
     from polycheck_spark.operators import similarity as S
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = _plan(S.near_dup_pairs(emb, (3, 5), mode="lsh", impl="arrow"))
-    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("FlatMapCoGroupsInPandas") == 1, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
-    assert plan.count("FileScan parquet") == 2, plan
+    assert plan.count("FileScan parquet") == 0, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+    # exactly the two cogroup-side exchanges, keyed on bucket
+    assert plan.count("Exchange hashpartitioning(bucket") == 2, plan
 
 
 def test_strip_boilerplate_hot_join_is_broadcast(spark, sf_dir):

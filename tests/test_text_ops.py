@@ -466,7 +466,15 @@ def test_ivf_centroid_budget_bounded(spark):
         q = emb.filter(F.col("vec_id") % 97 == 0)
         out = S.ivf_topk(emb, q, 3, n_vectors=n)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "Broadcast" in plan
+        # r8 shape: the budget-bounded centroid table is driver-collected
+        # and assignment+rescore run in ONE fold-exact map pass — no join
+        # of the vector relation at all (the former pin was a broadcast
+        # centroid join; the bound that makes the collect safe is asserted
+        # above either way)
+        assert "MapInPandas" in plan
+        for bad in ("SortMergeJoin", "CartesianProduct",
+                    "BroadcastNestedLoopJoin"):
+            assert bad not in plan, plan
         m = S._centroid_modulus(n, S.IVF_CENTROID_BUDGET)
         assert (n + m - 1) // m <= 2 * S.IVF_CENTROID_BUDGET
         assert out.count() > 0
