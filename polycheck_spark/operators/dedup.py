@@ -52,22 +52,41 @@ def _shingles(docs: DataFrame, id_col: str, text_col: str,
     duplicate-insensitive — skipping the dedup saves a full shuffle on the
     dominant (shingle) table.
 
-    The token array is bound to a NAMED column before the gram transform:
-    an expression tree referenced inside a higher-order-function lambda is
-    re-evaluated per array element, so inlining ``split(lower(text))`` there
-    makes shingling O(tokens^2 * len) per doc (measured 5-6s vs 0.5s at
-    sf0.1). Multiple static references to the alias also stop
-    CollapseProject from re-inlining it."""
-    toked = docs.select(F.col(id_col).alias("id"),
-                        tokens_col(F.col(text_col)).alias("toks"))
-    t = F.col("toks")
-    grams = F.when(
-        F.size(t) >= NGRAM,
-        F.transform(F.sequence(F.lit(0), F.size(t) - NGRAM),
-                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, NGRAM)))
-    ).otherwise(F.array().cast("array<string>"))
-    out = toked.select("id", F.explode(grams).alias("shingle"))
-    return out.distinct() if distinct else out
+    r8: grams are built MAP-SIDE in Python batches.  The former
+    ``transform(sequence, i -> concat_ws(slice))`` ran as an interpreted
+    lambda per gram (Spark never codegens HOFs — 14.9 s at sf1.0 for the
+    2.6M-shingle corpus), and ``distinct=True`` then paid a full exchange
+    of the shingle relation.  Tokenization stays the JVM split
+    (bit-identical token stream); ``' '.join`` builds the identical gram
+    strings, and the per-doc set dedup IS the global distinct — (id,
+    shingle) is unique once each doc's shingles are, so the distinct
+    shuffle disappears entirely.  Same rows, same strings, same oracle."""
+    import numpy as np
+    import pandas as pd
+
+    dedup = distinct
+
+    def grams(batches):
+        for pdf in batches:
+            out_id, out_sh = [], []
+            for did, toks in zip(pdf["id"], pdf["toks"]):
+                n = len(toks) - NGRAM + 1
+                if n <= 0:
+                    continue
+                tl = list(toks)
+                g = [" ".join(tl[i:i + NGRAM]) for i in range(n)]
+                if dedup:
+                    g = list(dict.fromkeys(g))
+                out_id.append(np.full(len(g), did, dtype=np.int64))
+                out_sh.extend(g)
+            yield pd.DataFrame({
+                "id": np.concatenate(out_id) if out_id else np.array([], dtype=np.int64),
+                "shingle": out_sh})
+
+    src = docs.select(F.col(id_col).alias("id"),
+                      tokens_col(F.col(text_col)).alias("toks"))
+    src = src.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return src.mapInPandas(grams, "id long, shingle string")
 
 
 def _shingles_sql(table: str, id_col: str, text_col: str) -> str:
@@ -177,19 +196,67 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     computing 16 independent md5s per shingle costs 16x for no extra
     collision quality.
 
-    Deliberately explode + groupBy, NOT 16 higher-order folds over a
-    per-row shingle array: Spark never codegens lambda expressions, so the
-    fold variant runs fully interpreted (0 WholeStageCodegen spans) and
-    measured 8x SLOWER at sf0.1 (9 s vs 1.2 s) despite saving the shingle
-    shuffle — min-aggregation in a codegen'd hash aggregate with map-side
-    partial combine wins.  (Contrast text.fingerprints, where a SINGLE
-    fold beats its shuffle.)
+    r8: signatures are computed MAP-SIDE per document batch, no shuffle at
+    all.  A document's shingles derive from its own row, so the former
+    explode -> groupBy shipped the 200x-bigger gram relation through an
+    exchange and evaluated 16 md5+affine expressions per gram row in
+    codegen (8.2 s at sf1.0); now each Arrow batch hashes its DISTINCT
+    grams once (hashlib md5 == Spark md5 on UTF-8 bytes), applies the 16
+    affine mixes in one int64 matrix (the products stay < 2^63 exactly as
+    the Column-path comment proves), and takes per-document minima with a
+    segment reduce — integer arithmetic end to end, bit-identical
+    signatures, same SQL oracle.  (The r2-era alternative this replaces
+    was 16 interpreted HOF folds — slower than the explode; the NumPy
+    batch path beats both.)
     """
-    sh = _shingles(docs, id_col, text_col, distinct=False)
-    h = F.pmod(_tok_int(F.col("shingle")), F.lit(_MH_Q))
-    mins = [F.min(F.pmod(h * F.lit(_MH_A[i]) + F.lit(_MH_B[i]), F.lit(_MH_P))).alias(f"m{i}")
-            for i in range(N_MINHASH)]
-    return sh.groupBy("id").agg(*mins)
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    A = np.array(_MH_A, dtype=np.int64)
+    B = np.array(_MH_B, dtype=np.int64)
+    cols = [f"m{i}" for i in range(N_MINHASH)]
+
+    def sig(batches):
+        cache: dict[str, int] = {}
+
+        def gram_h(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % _MH_Q
+                cache[g] = v
+            return v
+
+        for pdf in batches:
+            ids, lens, flat = [], [], []
+            for did, toks in zip(pdf["id"], pdf["toks"]):
+                n = len(toks) - NGRAM + 1
+                if n <= 0:
+                    continue        # explode() emitted no rows for the doc
+                tl = list(toks)
+                flat.extend(" ".join(tl[i:i + NGRAM]) for i in range(n))
+                ids.append(did)
+                lens.append(n)
+            if not ids:
+                continue
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            uh = np.fromiter((gram_h(g) for g in uniq),
+                             dtype=np.int64, count=len(uniq))
+            vals = (uh[codes][:, None] * A[None, :] + B[None, :]) % _MH_P
+            starts = np.zeros(len(lens), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            mins = np.minimum.reduceat(vals, starts, axis=0)
+            out = {"id": np.asarray(ids, dtype=np.int64)}
+            for i, c in enumerate(cols):
+                out[c] = mins[:, i]
+            yield pd.DataFrame(out)
+
+    src = docs.select(F.col(id_col).alias("id"),
+                      tokens_col(F.col(text_col)).alias("toks"))
+    src = src.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    schema = "id long, " + ", ".join(f"{c} long" for c in cols)
+    return src.mapInPandas(sig, schema)
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -738,13 +805,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
     # pinned RDD
     und = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
         .unionAll(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     # each round's plan embeds the previous round's, so WITHOUT lineage
     # truncation the logical plan doubles per iteration (driver OOM by ~10
-    # rounds — observed); an eager localCheckpoint pins the round's result
-    # and resets the plan to a scan, the standard iterative-DataFrame shape
+    # rounds — observed); a localCheckpoint pins the round's result and
+    # resets the plan to a scan, the standard iterative-DataFrame shape.
+    # r8: the checkpoints are LAZY and the per-round label-sum probe is the
+    # action that materializes them — one job per round instead of an eager
+    # checkpoint job followed by a probe job (the loop is latency-bound at
+    # small dup mass, so halving the actions halves the fixed cost)
     labels = vertices.select(F.col(id_col).alias("id"),
-                             F.col(id_col).alias("label")).localCheckpoint()
+                             F.col(id_col).alias("label")) \
+        .localCheckpoint(eager=False)
 
     def label_sum(df):
         # exact decimal sum — ids can be 64-bit hashes, so an int64 sum of
@@ -769,7 +841,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
         # at 10k; harmless no-op otherwise
         new_labels = (stepped.join(lut, stepped.label == lut.lid, "left")
                       .select("id", F.coalesce("llabel", "label").alias("label"))
-                      .localCheckpoint()
+                      .localCheckpoint(eager=False)
                       .select(F.col("id").alias("id"),
                               F.col("label").alias("label")))
         # convergence via the label-sum invariant: per-vertex labels are
@@ -1091,36 +1163,116 @@ def containment_pairs(docs: DataFrame, threshold: tuple[int, int] = (8, 10),
     subset — n_contained/n_container stay full-set sizes).  At 10^12 docs
     this is the verification stage over LSH candidates, same contract as
     Jaccard; the uncapped form the oracle checks is exact.
+
+    r8, uncapped path only: doc-at-a-time scoring over a broadcast
+    inverted index replaces the shingle self-join.  The join shape is
+    forced to materialize and SHUFFLE every doc pair sharing a shingle
+    (measured at sf1.0: 127M join rows -> a 114M-row (a, b, n_common)
+    exchange feeding a filter that keeps 5101 rows — 27 s, almost all of
+    it the exchange).  But every surviving row's decision needs only the
+    CONTAINED doc's own shingles, the posting lists of those shingles,
+    and the container sizes — so each doc can accumulate its common-count
+    vector locally (one bincount over its shingles' posting lists) and
+    apply the threshold BEFORE anything is emitted: per-direction rows
+    are produced exactly once (each from its contained side), the
+    quadratic intermediate never leaves the task, and the output is the
+    only thing shuffled.  The index is bounded by the shingle relation —
+    fine at oracle/bench scale; at 10^12 docs the uncapped all-pairs form
+    is off the table either way (its OUTPUT is corpus-quadratic), and the
+    capped configuration keeps the shuffle-based pairing below.
     """
     num, den = threshold
-    sh = _shingles(docs, id_col, text_col).localCheckpoint(eager=False)
-    sh = sh.select(*[F.col(c).alias(c) for c in sh.columns])
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    pair_sh = sh
     if max_doc_freq is not None:
+        sh = _shingles(docs, id_col, text_col).localCheckpoint(eager=False)
+        sh = sh.select(*[F.col(c).alias(c) for c in sh.columns])
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
         cool = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_doc_freq)
                 .select("shingle"))
         pair_sh = sh.join(cool, "shingle", "left_semi")
-    pairs = (pair_sh.alias("x").join(pair_sh.alias("y"), "shingle")
-             .filter(F.col("x.id") < F.col("y.id"))
-             .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-             .agg(F.count(F.lit(1)).alias("n_common")))
-    sized = (pairs
-             .join(sizes.withColumnRenamed("id", "a")
-                   .withColumnRenamed("n", "n_a"), "a")
-             .join(sizes.withColumnRenamed("id", "b")
-                   .withColumnRenamed("n", "n_b"), "b"))
-    fwd = sized.select(F.col("a").alias("contained"),
-                       F.col("b").alias("container"), "n_common",
-                       F.col("n_a").alias("n_contained"),
-                       F.col("n_b").alias("n_container"))
-    rev = sized.select(F.col("b").alias("contained"),
-                       F.col("a").alias("container"), "n_common",
-                       F.col("n_b").alias("n_contained"),
-                       F.col("n_a").alias("n_container"))
-    return (fwd.unionByName(rev)
-            .filter(F.col("n_common") * den >= num * F.col("n_contained")))
+        pairs = (pair_sh.alias("x").join(pair_sh.alias("y"), "shingle")
+                 .filter(F.col("x.id") < F.col("y.id"))
+                 .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+                 .agg(F.count(F.lit(1)).alias("n_common")))
+        sized = (pairs
+                 .join(sizes.withColumnRenamed("id", "a")
+                       .withColumnRenamed("n", "n_a"), "a")
+                 .join(sizes.withColumnRenamed("id", "b")
+                       .withColumnRenamed("n", "n_b"), "b"))
+        fwd = sized.select(F.col("a").alias("contained"),
+                           F.col("b").alias("container"), "n_common",
+                           F.col("n_a").alias("n_contained"),
+                           F.col("n_b").alias("n_container"))
+        rev = sized.select(F.col("b").alias("contained"),
+                           F.col("a").alias("container"), "n_common",
+                           F.col("n_b").alias("n_contained"),
+                           F.col("n_a").alias("n_container"))
+        return (fwd.unionByName(rev)
+                .filter(F.col("n_common") * den >= num * F.col("n_contained")))
+
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    # inverted index: shingle -> posting array of doc CODES (dense 0..N-1
+    # re-keying so the per-doc accumulator is one bincount buffer); built
+    # from the same _shingles relation the join path used, collected once
+    post_pdf = (_shingles(docs, id_col, text_col)
+                .groupBy("shingle").agg(F.collect_list("id").alias("ids"))
+                .toPandas())
+    lens = np.fromiter((len(v) for v in post_pdf["ids"]),
+                       dtype=np.int64, count=len(post_pdf))
+    all_ids = (np.concatenate([np.asarray(v, dtype=np.int64)
+                               for v in post_pdf["ids"]])
+               if len(post_pdf) else np.array([], dtype=np.int64))
+    uniq_ids, codes_all = np.unique(all_ids, return_inverse=True)
+    sizes_arr = np.bincount(codes_all, minlength=len(uniq_ids)).astype(np.int64)
+    bounds = np.cumsum(lens)[:-1]
+    postings = dict(zip(post_pdf["shingle"], np.split(codes_all, bounds)))
+    bc = spark.sparkContext.broadcast((postings, uniq_ids, sizes_arr))
+
+    schema = ("contained long, container long, n_common long, "
+              "n_contained long, n_container long")
+
+    def score(batches):
+        idx, ids_v, sizes_v = bc.value
+        n_docs = len(ids_v)
+        for pdf in batches:
+            o_a, o_b, o_c, o_na, o_nb = [], [], [], [], []
+            for did, toks in zip(pdf["id"], pdf["toks"]):
+                n = len(toks) - NGRAM + 1
+                if n <= 0:
+                    continue
+                tl = list(toks)
+                grams = dict.fromkeys(" ".join(tl[i:i + NGRAM])
+                                      for i in range(n))
+                counts = np.bincount(
+                    np.concatenate([idx[g] for g in grams]),
+                    minlength=n_docs)
+                me = np.searchsorted(ids_v, did)
+                na = counts[me]            # every own posting contains me
+                counts[me] = 0             # never pair with self
+                cand = np.flatnonzero(counts)
+                keep = counts[cand] * den >= num * na
+                cand = cand[keep]
+                o_a.append(np.full(len(cand), did, dtype=np.int64))
+                o_b.append(ids_v[cand])
+                o_c.append(counts[cand])
+                o_na.append(np.full(len(cand), na, dtype=np.int64))
+                o_nb.append(sizes_v[cand])
+            e = np.array([], dtype=np.int64)
+            yield pd.DataFrame({
+                "contained": np.concatenate(o_a) if o_a else e,
+                "container": np.concatenate(o_b) if o_b else e,
+                "n_common": np.concatenate(o_c) if o_c else e,
+                "n_contained": np.concatenate(o_na) if o_na else e,
+                "n_container": np.concatenate(o_nb) if o_nb else e,
+            })
+
+    src = docs.select(F.col(id_col).alias("id"),
+                      tokens_col(F.col(text_col)).alias("toks"))
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(score, schema)
 
 
 def containment_pairs_sql(table: str, threshold: tuple[int, int] = (8, 10),
