@@ -170,6 +170,11 @@ GROUP BY 1
 # broadcast-join strategy is strictly better.
 LITERAL_BLOCKLIST_CAP = 100_000
 
+# Largest blocklist compiled to a flat endswith-OR chain (pure codegen);
+# past this the boolean expression tree itself bloats the plan and the
+# literal-array overlap (interpreted, but O(labels) per row) wins.
+LITERAL_OR_CAP = 64
+
 
 def host_suffixes_col(host):
     """array<string> of dot-suffixes of a host, longest first."""
@@ -208,6 +213,17 @@ def domain_block_filter(pages: DataFrame, blocklist: DataFrame, *,
     bounded by the blocked page mass and the join keys on ``id_col``
     alone, never on wide page payloads."""
     host = F.substring_index(canonical_url_col(F.col(url_col)), "/", 1)
+    # bind the host's label array to a NAMED column before the suffix
+    # transform: an expression tree referenced inside a HOF lambda is
+    # re-evaluated per array element, so inlining the canonicalization
+    # chain there re-ran the full regex/substring pipeline once per suffix
+    # per row (the _shingles trap; measured ~7 s of the 8.4 s sf1.0 gate).
+    # The double reference (slice + size) also stops CollapseProject from
+    # re-inlining it.
+    parted = pages.withColumn("__hparts", F.split(host, r"\."))
+    n = F.size(F.col("__hparts"))
+    sfx = F.transform(F.sequence(F.lit(1), n),
+                      lambda i: F.array_join(F.slice(F.col("__hparts"), i, n), "."))
     if strategy == "literal":
         probe = blocklist.select("domain") \
             .limit(LITERAL_BLOCKLIST_CAP + 1).collect()
@@ -215,12 +231,24 @@ def domain_block_filter(pages: DataFrame, blocklist: DataFrame, *,
             strategy = "join"  # oversized for a literal — broadcast-join it
         else:
             doms = sorted({r["domain"] for r in probe})
-            arr = F.array([F.lit(d) for d in doms]) if doms \
-                else F.array().cast("array<string>")
-            hit = F.arrays_overlap(host_suffixes_col(host), arr)
-            return pages.filter(~hit if keep else hit)
-    cand = (pages.select(id_col, F.explode(host_suffixes_col(host))
-                         .alias("__d")))
+            if len(doms) <= LITERAL_OR_CAP:
+                # small blocklist: "d is a dot-suffix of host" is exactly
+                # host == d OR host ends with '.' + d, so the gate compiles
+                # to a flat boolean chain of codegen string compares — the
+                # arrays_overlap form needs the interpreted suffix
+                # transform (HOFs never codegen), which was the whole gate
+                # cost.  Label-boundary semantics are identical: the dot
+                # prefix is what keeps "xblocked.com" out of "blocked.com".
+                hit = F.lit(False)
+                for d in doms:
+                    hit = hit | (F.col("__h") == d) \
+                        | F.col("__h").endswith("." + d)
+                hosted = pages.withColumn("__h", host)
+                return hosted.filter(~hit if keep else hit).drop("__h")
+            arr = F.array([F.lit(d) for d in doms])
+            hit = F.arrays_overlap(sfx, arr)
+            return parted.filter(~hit if keep else hit).drop("__hparts")
+    cand = (parted.select(id_col, F.explode(sfx).alias("__d")))
     blocked_ids = (cand.join(
         F.broadcast(blocklist.select(F.col("domain").alias("__d")).distinct()),
         "__d", "left_semi").select(id_col).distinct())
