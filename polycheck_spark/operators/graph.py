@@ -120,12 +120,18 @@ def pagerank(edges: DataFrame, *, iters: int = 3, src_col: str = "src_host",
             "node_col collides with an internal working column "
             "('src', 'dst', 'w', 'out_w', 'pr') — pick another name")
     w = F.col(weight_col) if weight_col else F.lit(1)
+    # r8: every checkpoint here is LAZY — there is no per-round convergence
+    # probe (the budget is fixed), so nothing needs materializing until the
+    # caller's one action, which collapses the former 2 + iters eager
+    # checkpoint jobs into a single job.  The checkpoints still truncate
+    # lineage (the plan of round k references round k-1's pinned RDD, not
+    # its full pipeline), which is all they were for.
     e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
                       w.cast("long").alias("w"))
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias(node_col))
              .unionAll(e.select(F.col("dst").alias(node_col)))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint(eager=False))
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     ew = e.join(outw, "src")
     ranks = nodes.select(node_col, F.lit(BASE).cast("long").alias("pr"))
@@ -139,7 +145,7 @@ def pagerank(edges: DataFrame, *, iters: int = 3, src_col: str = "src_host",
                  .select(node_col,
                          (F.lit(TELEPORT) + F.coalesce(F.col("m"), F.lit(0)))
                          .cast("long").alias("pr"))
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     return ranks
 
 

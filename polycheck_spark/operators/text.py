@@ -201,6 +201,51 @@ FROM {table}
 
 # --- corpus vocabulary ---------------------------------------------------------
 
+def _doc_token_tf(docs: DataFrame, id_col: str, text_col: str,
+                  tf_name: str = "tf") -> DataFrame:
+    """(id_col, token, tf) — per-(document, token) counts computed
+    MAP-SIDE: a document's tokens live in its own row, so the former
+    explode -> groupBy(id, token) shipped the full token stream through an
+    exchange to compute counts that never cross documents.  Tokenization
+    stays the JVM split (bit-identical token stream); each Arrow batch
+    counts per-doc tokens in NumPy.  Counts are integers and token strings
+    identical, so every consumer's oracle is untouched; downstream
+    aggregations see the same rows with one fewer corpus-sized shuffle.
+
+    Shared by :func:`vocab_topk`, :func:`doc_top_terms` and
+    :func:`unigram_quality`."""
+    import numpy as np
+    import pandas as pd
+
+    def counts(batches):
+        for pdf in batches:
+            lens = np.fromiter((len(t) for t in pdf["toks"]),
+                               dtype=np.int64, count=len(pdf))
+            keep = lens > 0
+            if not keep.any():
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)[keep]
+            lens = lens[keep]
+            flat = np.concatenate([np.asarray(t, dtype=object)
+                                   for t in pdf["toks"][keep]])
+            codes, uniq = pd.factorize(flat)
+            doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            packed = doc_idx * len(uniq) + codes
+            pk, tf = np.unique(packed, return_counts=True)
+            yield pd.DataFrame({
+                "id": ids[pk // len(uniq)],
+                "token": uniq[pk % len(uniq)],
+                tf_name: tf.astype(np.int64),
+            })
+
+    src = docs.select(F.col(id_col).alias("id"),
+                      tokens_col(F.col(text_col)).alias("toks"))
+    src = src.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return (src.mapInPandas(counts, f"id long, token string, {tf_name} long")
+            .withColumnRenamed("id", id_col))
+
+
+
 def vocab_topk(docs: DataFrame, k: int, *, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Corpus top-k vocabulary by document frequency: (token, doc_freq,
@@ -217,9 +262,7 @@ def vocab_topk(docs: DataFrame, k: int, *, id_col: str = "doc_id",
     globally, and the rank window runs over the k survivors only.
     Deterministic tie-break: doc_freq desc, occurrences desc, token asc.
     """
-    tok = (docs.select(F.col(id_col),
-                       F.explode(tokens_col(F.col(text_col))).alias("token"))
-           .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n")))
+    tok = _doc_token_tf(docs, id_col, text_col, tf_name="n")
     vocab = (tok.groupBy("token")
              .agg(F.count(F.lit(1)).alias("doc_freq"),
                   F.sum("n").alias("occurrences")))
@@ -268,9 +311,7 @@ def doc_top_terms(docs: DataFrame, k: int, *, id_col: str = "doc_id",
     lists, never a global sort.  Emits (doc_id, token, tf, doc_freq,
     term_rank).
     """
-    tok = (docs.select(F.col(id_col),
-                       F.explode(tokens_col(F.col(text_col))).alias("token"))
-           .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")))
+    tok = _doc_token_tf(docs, id_col, text_col)
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("doc_freq").asc(), F.col("tf").desc(), F.col("token").asc())
@@ -682,8 +723,6 @@ def unigram_quality(docs: DataFrame, *, id_col: str = "doc_id",
     that to ~1e19 x 1e19 before precision loss — beyond any single-corpus
     deployment this engine targets.
     """
-    tok = docs.select(F.col(id_col),
-                      F.explode(tokens_col(F.col(text_col))).alias("tok"))
     # the tf table feeds two consumers (vocab totals + the scoring join)
     # and per_doc feeds two more (corpus totals + the result) — Spark
     # re-executes shared subtrees per branch, so without checkpoints this
@@ -691,7 +730,8 @@ def unigram_quality(docs: DataFrame, *, id_col: str = "doc_id",
     # localCheckpoints materialize each once; the ContextCleaner reclaims
     # them when the result frame is garbage-collected (the
     # dedup/_shingles idiom).
-    tf = (tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (_doc_token_tf(docs, id_col, text_col)
+          .withColumnRenamed("token", "tok")
           .localCheckpoint(eager=False))
     tf = tf.select(*[F.col(c).alias(c) for c in tf.columns])
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
