@@ -82,8 +82,9 @@ def test_near_dup_buckets_once_vectors_never_rejoin(spark, sf_dir):
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                 "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, plan
-    # exactly the two cogroup-side exchanges, keyed on bucket
-    assert plan.count("Exchange hashpartitioning(bucket") == 2, plan
+    # exactly the two cogroup-side exchanges, keyed on the bucket keys
+    assert plan.count("Exchange hashpartitioning(bucket") == 1, plan
+    assert plan.count("Exchange hashpartitioning(pbucket") == 1, plan
 
 
 def test_strip_boilerplate_hot_join_is_broadcast(spark, sf_dir):
