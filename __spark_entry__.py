@@ -1288,7 +1288,8 @@ def _spread(spark, df):
     payload projection keeps the hex-expression synthesis above the
     exchange too.  Row placement never affects results — every media
     query is per-row deterministic and output-ordered."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    from polycheck_spark.session import spread
+    return spread(df)
 
 
 def _media_dims_payload_col():

@@ -85,7 +85,8 @@ def _shingles(docs: DataFrame, id_col: str, text_col: str,
 
     src = docs.select(F.col(id_col).alias("id"),
                       tokens_col(F.col(text_col)).alias("toks"))
-    src = src.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    from polycheck_spark.session import spread
+    src = spread(src)
     return src.mapInPandas(grams, "id long, shingle string")
 
 
@@ -254,7 +255,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
     src = docs.select(F.col(id_col).alias("id"),
                       tokens_col(F.col(text_col)).alias("toks"))
-    src = src.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    from polycheck_spark.session import spread
+    src = spread(src)
     schema = "id long, " + ", ".join(f"{c} long" for c in cols)
     return src.mapInPandas(sig, schema)
 
@@ -427,7 +429,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     src = docs.select(F.col(id_col).alias("id"),
                       tokens_col(F.col(text_col)).alias("toks"))
-    src = src.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    from polycheck_spark.session import spread
+    src = spread(src)
     return src.mapInPandas(sig, "id long, simhash long")
 
 
@@ -1290,7 +1293,8 @@ def containment_pairs(docs: DataFrame, threshold: tuple[int, int] = (8, 10),
 
     src = docs.select(F.col(id_col).alias("id"),
                       tokens_col(F.col(text_col)).alias("toks"))
-    src = src.repartition(spark.sparkContext.defaultParallelism)
+    from polycheck_spark.session import spread
+    src = spread(src)
     return src.mapInPandas(score, schema)
 
 

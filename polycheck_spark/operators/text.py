@@ -240,7 +240,8 @@ def _doc_token_tf(docs: DataFrame, id_col: str, text_col: str,
 
     src = docs.select(F.col(id_col).alias("id"),
                       tokens_col(F.col(text_col)).alias("toks"))
-    src = src.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    from polycheck_spark.session import spread
+    src = spread(src)
     return (src.mapInPandas(counts, f"id long, token string, {tf_name} long")
             .withColumnRenamed("id", id_col))
 

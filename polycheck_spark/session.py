@@ -40,3 +40,26 @@ def get_spark(app_name: str = "polycheck_spark", master: str | None = None,
                  **extra}.items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def spread(df):
+    """Round-robin repartition to the session's shuffle-partition count —
+    the knob every harness already sets (the bench contract sizes it to
+    the core count; the scaling harnesses pin it across parallelism levels
+    so task grain never varies with worker count).  Used by the map-heavy
+    operators whose source reads as 1-2 parquet splits: without it a
+    mapInPandas stage runs on as many cores as there are input splits.
+    Row placement never affects results — every consumer is
+    batching-invariant (per-batch top-k supersets, per-row transforms,
+    key-grouped aggregations downstream)."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        # already parallel enough — an exchange here would only move bytes
+        # (measured: +33 s on the 16M-vector scaling workload, whose input
+        # is synthesized at full width)
+        return df
+    return df.repartition(n)
